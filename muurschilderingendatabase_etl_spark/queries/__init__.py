@@ -1,0 +1,6 @@
+"""Operator inventory (SURVEY.md §2.3) — importing this package registers
+every query with the registry. One module per operator category."""
+
+from muurschilderingendatabase_etl_spark.queries import (  # noqa: F401
+    flagship,
+)

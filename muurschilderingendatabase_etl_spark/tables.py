@@ -1,0 +1,41 @@
+"""Loaders for the driver fixture tables (TESTDATA.md / FIXTURES.md §A).
+
+All loads go through ``spark.read.parquet`` so Catalyst gets predicate
+pushdown / column pruning for free. The dimension tables (region, nation,
+supplier at low SF) are tiny — query code broadcast-hints them explicitly
+where it matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at ANY scale factor (fixed-size in
+# TPC-H: region=5 rows, nation=25 rows always).
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql() use."""
+    for name in TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
