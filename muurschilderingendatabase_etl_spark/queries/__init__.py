@@ -2,5 +2,14 @@
 every query with the registry. One module per operator category."""
 
 from muurschilderingendatabase_etl_spark.queries import (  # noqa: F401
+    aggregation,
+    array_json,
     flagship,
+    joins,
+    projection,
+    scalar_fns,
+    scans,
+    setops,
+    sort_limit,
+    windows,
 )

@@ -1,0 +1,303 @@
+"""Join operators (SURVEY.md §2.3 'Joins').
+
+Every join flavor: inner/left/right/full equi-joins, broadcast, left_semi
+and left_anti (the Spark expression of the reference's customvocab
+anti-join O4 and enrichment semi-join O13), theta/range join, cross join,
+and an as-of join.
+
+Scale notes:
+- Fact-to-fact equi-joins (lineitem⋈orders) shuffle on the key; AQE picks
+  sort-merge vs shuffled-hash and splits skewed partitions.
+- Fixed-size dims (nation=25, region=5) are broadcast explicitly —
+  zero-shuffle map-side joins at any SF.
+- The theta join keeps the small side broadcast so the non-equi condition
+  becomes a broadcast-nested-loop over 4 rows, not an O(n²) shuffle.
+- The as-of join uses the union+window carry-forward formulation: ONE
+  shuffle on (user_id), no range-explosion — the pattern that survives
+  100 TB where a naive range join would not.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.tables import t
+
+
+@query(
+    "join_inner_three_way",
+    oracle="""
+    SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_inner_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = t(spark, sf_dir, "supplier")
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    region = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n_name, CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers
+    FROM supplier
+    RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey FROM supplier)
+    SELECT
+      COALESCE(c_nationkey, -1) AS cust_nation,
+      COALESCE(s_nationkey, -1) AS supp_nation
+    FROM cn FULL OUTER JOIN sn ON c_nationkey = s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = t(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    sn = t(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+    return cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full").select(
+        F.coalesce("c_nationkey", F.lit(-1)).alias("cust_nation"),
+        F.coalesce("s_nationkey", F.lit(-1)).alias("supp_nation"),
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_nationkey
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semi-join: the Spark form of the reference's enrichment membership
+    # test (transform_datamodel.py:105, SURVEY O13).
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Anti-join: the intended semantics of the reference's dead customvocab
+    # filter (export_from_omeka_s.py:60-65, SURVEY O4).
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        t(spark, sf_dir, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit broadcast of the part dim: the fact side never shuffles.
+    part = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    lineitem = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0.0, 50000.0), ('medium', 50000.0, 150000.0),
+             ('large', 150000.0, 300000.0), ('huge', 300000.0, 1e18)
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure inequality join; tiny band table broadcast -> nested-loop over
+    # 4 rows per record instead of a shuffle.
+    bands = spark.createDataFrame(
+        [
+            ("small", 0.0, 50_000.0),
+            ("medium", 50_000.0, 150_000.0),
+            ("large", 150_000.0, 300_000.0),
+            ("huge", 300_000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    orders = t(spark, sf_dir, "orders").select("o_totalprice")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, os AS order_status
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS os FROM orders)
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region").select("r_name")
+    statuses = (
+        t(spark, sf_dir, "orders")
+        .select(F.col("o_orderstatus").alias("order_status"))
+        .distinct()
+    )
+    return region.crossJoin(statuses)
+
+
+@query(
+    "join_asof_event_order",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           p.value AS purchase_value,
+           v.event_id AS prior_view_event
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest view of the same
+    user at-or-before its timestamp.
+
+    Implementation: union both streams, window per user ordered by (ts,
+    side), carry the last view's event_id forward with `last(..,
+    ignorenulls)`. One shuffle on user_id; no range cross-product. At
+    100 TB this beats any range-join formulation because state per key is
+    O(1) in the running window.
+
+    Tie semantics: a view at exactly the purchase ts IS eligible (p.ts >=
+    v.ts) — the union sorts views before purchases at equal ts.
+    """
+    events = t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("is_purchase")
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_purchase"),
+    )
+    unioned = purchases.unionByName(views).withColumn(
+        "view_event", F.when(F.col("is_purchase") == 0, F.col("event_id"))
+    )
+    # views sort before purchases at equal ts -> ">=" as-of semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("prior_view_event", F.last("view_event", ignorenulls=True).over(w))
+        .where(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("value").alias("purchase_value"),
+            "prior_view_event",
+        )
+    )

@@ -1,0 +1,100 @@
+"""Source scans (SURVEY.md §2.3 'Sources/sinks').
+
+Parquet scan with pushdown, CSV and JSON round-trips with explicit
+schemas (schema inference is demonstrated but not relied on for parity —
+explicit StructType is the production path).
+
+Scale notes: the parquet scan query is written so both the filter and the
+3-column projection reach the scan node (`PushedFilters`, `ReadSchema` in
+explain). CSV/JSON round-trips write to a session-scoped temp dir with
+Spark's distributed writer — at 100 TB these are partitioned directories,
+not single files.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.tables import t
+
+
+@query(
+    "scan_parquet_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+      AND l_discount > 0.05
+    """,
+)
+def scan_parquet_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Filter + projection push into the parquet scan; no shuffle at all.
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed CSV write + schema-explicit read back (header mode).
+    path = os.path.join(tempfile.gettempdir(), "msdb_spark_csv_nation")
+    t(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).option("header", True).csv(path)
+
+
+@query(
+    "scan_json_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON-lines write + explicit-schema read (inference would also work but
+    # is a full extra pass at scale).
+    path = os.path.join(tempfile.gettempdir(), "msdb_spark_json_customer")
+    t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    ).write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "c_custkey long, c_name string, c_acctbal double, c_mktsegment string"
+    ).json(path)
+
+
+@query(
+    "sink_parquet_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Write an aggregate to parquet and read it back — sink + source parity.
+    path = os.path.join(tempfile.gettempdir(), "msdb_spark_parquet_sink")
+    agg = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    agg.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

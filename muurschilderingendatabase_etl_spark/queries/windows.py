@@ -1,0 +1,167 @@
+"""Window functions (SURVEY.md §2.3 'Window fns').
+
+rank/dense_rank/row_number, lag/lead, running aggregates, explicit frame
+specifications.
+
+Scale notes: each window is ONE shuffle on its partition key followed by a
+per-partition sort. All orderings carry a unique tiebreak column so
+row_number/lag results are deterministic and oracle-comparable. Windows
+partitioned by a high-cardinality key (customer, user) scale linearly;
+there is deliberately no unpartitioned global window in the hot set (that
+would serialize onto one task at 100 TB).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.tables import t
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice AS totalprice, rn
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS BIGINT) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-k per group: window + filter, the scalable alternative to a
+    # global sort (shuffle on group key only, k rows retained per group).
+    joined = t(spark, sf_dir, "customer").join(
+        t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey")
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        joined.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("c_custkey", "o_orderkey", F.col("o_totalprice").alias("totalprice"), "rn")
+    )
+
+
+@query(
+    "window_rank_dense_rank",
+    oracle="""
+    SELECT n_name, s_suppkey,
+           CAST(RANK()       OVER (PARTITION BY n_name ORDER BY s_acctbal DESC) AS BIGINT) AS bal_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC) AS BIGINT) AS bal_dense_rank
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = t(spark, sf_dir, "supplier").join(
+        F.broadcast(t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"))
+    return joined.select(
+        "n_name",
+        "s_suppkey",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           value,
+           value - LAG(value) OVER w AS delta_prev,
+           LEAD(value) OVER w        AS next_value
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+            F.lead("value").over(w).alias("next_value"),
+        )
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "window_moving_avg_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS moving_avg3
+    FROM events
+    """,
+)
+def window_moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit bounded frame: 3-row trailing average per user.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg3"),
+    )
+
+
+@query(
+    "window_share_of_group",
+    oracle="""
+    SELECT n_name, c_custkey,
+           ROUND(c_acctbal / SUM(c_acctbal) OVER (PARTITION BY n_name), 6) AS bal_share
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unordered analytic window (whole-partition aggregate as a column).
+    joined = t(spark, sf_dir, "customer").join(
+        F.broadcast(t(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    w = Window.partitionBy("n_name")
+    return joined.select(
+        "n_name",
+        "c_custkey",
+        F.round(F.col("c_acctbal") / F.sum("c_acctbal").over(w), 6).alias("bal_share"),
+    )

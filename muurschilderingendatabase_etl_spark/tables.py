@@ -8,6 +8,7 @@ where it matters.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -29,10 +30,19 @@ ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame."""
+    """Load one fixture table as a DataFrame.
+
+    events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as int64
+    nanos (spark.sql.legacy.parquet.nanosAsLong) and we convert to a
+    proper timestamp here (µs truncation — sub-µs never carries meaning
+    in this engine's operators).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -19,13 +19,23 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             # tolerate last-ulp noise; queries already round to 2dp
             df[col] = s.round(6)
         elif s.dtype == object:
-            df[col] = s.map(
-                lambda v: round(v, 6) if isinstance(v, float) else
-                (tuple(round(x, 5) if isinstance(x, float) else x for x in v)
-                 if isinstance(v, (list, tuple)) else v)
-            )
+            df[col] = s.map(_norm_value)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
     return df.reset_index(drop=True)
+
+
+def _norm_value(v):
+    import numpy as np
+
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_value(x) for x in v)
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
 
 
 def assert_parity(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:
@@ -36,6 +46,17 @@ def assert_parity(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str =
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )
+    # dtype-kind parity (int vs float vs other) — the driver compares
+    # schemas, so Spark LONG vs DuckDB DOUBLE is a real mismatch even
+    # when values are numerically equal.
+    for col in sorted(spark_pdf.columns):
+        sk = spark_pdf[col].dtype.kind
+        ok_ = oracle_pdf[col].dtype.kind
+        if {sk, ok_} <= {"i", "u"}:
+            continue
+        assert sk == ok_ or "O" in (sk, ok_) or {sk, ok_} == {"M", "O"}, (
+            f"{name}: col {col} dtype kind spark={sk} oracle={ok_}"
+        )
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
