@@ -7,6 +7,7 @@ from muurschilderingendatabase_etl_spark.queries import (  # noqa: F401
     flagship,
     joins,
     projection,
+    rdf_graph,
     scalar_fns,
     scans,
     setops,

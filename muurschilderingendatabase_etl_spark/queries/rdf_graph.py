@@ -1,0 +1,144 @@
+"""RDF-surface queries for the driver contract (SURVEY.md §2.1).
+
+``rdf_graph_pipeline`` is oracle-checked: a triples graph derived
+deterministically from the nation table is pushed through the REAL
+engine operators (graph_union set semantics, add_same_as semi-join +
+derived insert, apply_mapping rename, apply_filter delete) and compared
+against the equivalent relational SQL. This puts the reference's core
+transform semantics (O13/O14/O15, transform_datamodel.py:102-127) under
+the DuckDB differential gate even though triples aren't a fixture table.
+
+``rdf_turtle_roundtrip`` is rows-only: Turtle text -> parse -> clean ->
+serialize -> reparse, returning the final sorted triples.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.rdf import cleanup, transform
+from muurschilderingendatabase_etl_spark.rdf.schema import (
+    CEO_RIJKSMONUMENT,
+    CEO_RIJKSMONUMENTNUMMER,
+    IRI,
+    LITERAL,
+    OMEKA,
+    RDF_TYPE,
+    SDO_SAME_AS,
+    WELL_KNOWN_NAMESPACES,
+)
+from muurschilderingendatabase_etl_spark.rdf.turtle import (
+    parse_turtle_text,
+    serialize_turtle,
+    triples_only,
+)
+from muurschilderingendatabase_etl_spark.tables import t
+
+_SDO_NAME = WELL_KNOWN_NAMESPACES["SDO"] + "name"
+_URN_NAME = "urn:p:name"
+_IS_PUBLIC = OMEKA + "is_public"
+
+
+def _nation_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic triples graph derived from the nation table:
+    name literals, Rijksmonument type rows for region 0, RM-numbers,
+    plus housekeeping rows destined for the predicate filter — and a
+    duplicated slice to exercise set-semantics dedup."""
+    nation = t(spark, sf_dir, "nation")
+    subj = F.concat(F.lit("urn:n:"), F.col("n_nationkey").cast("string"))
+
+    def rows(p, o, o_kind):
+        return nation.select(
+            subj.alias("s"),
+            F.lit(IRI).alias("s_kind"),
+            F.lit(p).alias("p") if isinstance(p, str) else p.alias("p"),
+            o.alias("o"),
+            F.lit(o_kind).alias("o_kind"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_datatype"),
+        )
+
+    names = rows(_URN_NAME, F.col("n_name"), LITERAL)
+    typed = (
+        nation.where(F.col("n_regionkey") == 0)
+        .select(
+            subj.alias("s"), F.lit(IRI).alias("s_kind"),
+            F.lit(RDF_TYPE).alias("p"),
+            F.lit(CEO_RIJKSMONUMENT).alias("o"), F.lit(IRI).alias("o_kind"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_datatype"),
+        )
+    )
+    numbers = rows(
+        CEO_RIJKSMONUMENTNUMMER,
+        F.concat(F.lit("RM"), F.col("n_nationkey").cast("string")),
+        LITERAL,
+    )
+    housekeeping = rows(_IS_PUBLIC, F.lit("true"), LITERAL)
+    # duplicate slice: set semantics must collapse it (rdflib Graph.add)
+    return transform.graph_union(names, typed, numbers, housekeeping, names)
+
+
+@query(
+    "rdf_graph_pipeline",
+    oracle=f"""
+    WITH names AS (
+      SELECT 'urn:n:' || n_nationkey AS s, '{_SDO_NAME}' AS p, n_name AS o
+      FROM nation
+    ),
+    typed AS (
+      SELECT 'urn:n:' || n_nationkey AS s, '{RDF_TYPE}' AS p,
+             '{CEO_RIJKSMONUMENT}' AS o
+      FROM nation WHERE n_regionkey = 0
+    ),
+    nums AS (
+      SELECT 'urn:n:' || n_nationkey AS s, '{CEO_RIJKSMONUMENTNUMMER}' AS p,
+             'RM' || n_nationkey AS o
+      FROM nation
+    ),
+    sameas AS (
+      SELECT s, '{SDO_SAME_AS}' AS p, o FROM nums
+      WHERE s IN (SELECT s FROM typed)
+    )
+    SELECT DISTINCT s, p, o FROM (
+      SELECT * FROM names UNION ALL SELECT * FROM typed
+      UNION ALL SELECT * FROM nums UNION ALL SELECT * FROM sameas
+    )
+    ORDER BY s, p, o
+    """,
+)
+def rdf_graph_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    graph = _nation_graph(spark, sf_dir)
+    enriched = transform.add_same_as(graph)  # O13 semi-join + insert
+    renamed = transform.apply_mapping(enriched, {_URN_NAME: _SDO_NAME})  # O14
+    filtered = transform.apply_filter(renamed, [_IS_PUBLIC])  # O15
+    return filtered.select("s", "p", "o").orderBy("s", "p", "o")
+
+
+_DEMO_TTL = """\
+@prefix dcterms: <http://purl.org/dc/terms/> .
+@prefix ceo: <https://linkeddata.cultureelerfgoed.nl/def/ceo#> .
+<https://muurschilderingendatabase.nl/item/1> dcterms:title "Sint Joris"@nl ;
+    a ceo:Rijksmonument ;
+    ceo:rijksmonumentnummer "RM12345" .
+<https://muurschilderingendatabase.nl/item/2> dcterms:title "Zonder type" .
+"""
+
+
+@query("rdf_turtle_roundtrip")  # rows-only: Turtle isn't DuckDB-expressible
+def rdf_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from muurschilderingendatabase_etl_spark.rdf.schema import TRIPLES_SCHEMA
+
+    rows = [
+        (r["s"], r["s_kind"], r["p"], r["o"], r["o_kind"], r["o_lang"], r["o_datatype"])
+        for r in parse_turtle_text(_DEMO_TTL)
+    ]
+    triples = cleanup.clean(spark.createDataFrame(rows, TRIPLES_SCHEMA))
+    text = serialize_turtle(triples, {"dcterms": "http://purl.org/dc/terms/"})
+    reparsed = [
+        (r["s"], r["s_kind"], r["p"], r["o"], r["o_kind"], r["o_lang"], r["o_datatype"])
+        for r in parse_turtle_text(text)
+    ]
+    return spark.createDataFrame(reparsed, TRIPLES_SCHEMA).orderBy("s", "p", "o")
