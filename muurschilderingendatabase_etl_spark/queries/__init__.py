@@ -4,13 +4,17 @@ every query with the registry. One module per operator category."""
 from muurschilderingendatabase_etl_spark.queries import (  # noqa: F401
     aggregation,
     array_json,
+    dedup,
     flagship,
     joins,
+    multimodal,
     projection,
     rdf_graph,
     scalar_fns,
     scans,
     setops,
+    similarity,
     sort_limit,
+    textanalysis,
     windows,
 )

@@ -75,9 +75,9 @@ def array_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT)                       AS dim,
-           ROUND(list_aggregate(embedding, 'sum'), 4)        AS vec_sum,
-           ROUND(list_aggregate(embedding, 'max'), 4)        AS vec_max,
-           ROUND(embedding[1], 4)                            AS first_component
+           ROUND(CAST(list_aggregate(embedding, 'sum') AS DOUBLE), 4) AS vec_sum,
+           ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS vec_max,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4)                     AS first_component
     FROM embeddings
     WHERE vec_id < 100
     """,

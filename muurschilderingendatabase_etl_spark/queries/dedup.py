@@ -1,0 +1,297 @@
+"""Deduplication operators (north-star extension, SURVEY.md §2.3
+'LLM-data'): exact hash dedup, n-gram Jaccard near-dup, MinHash+LSH,
+SimHash.
+
+Scale notes:
+- Exact dedup groups on a 256-bit content hash — shuffle carries the
+  32-byte hash, never the document text.
+- The pairwise Jaccard query blocks on `source` (within-group O(g²));
+  the MinHash-LSH query is the unblocked scale path: candidates come
+  from an inverted band index (shuffle on band value), so cost is
+  O(n·bands + candidate_pairs), not O(n²). With 16 minhashes in 8
+  bands × 2 rows, recall at j≥0.9 is ≈99.9997% per pair and false
+  candidates are removed by exact verification — which is why the LSH
+  query can share the all-pairs SQL oracle.
+- SimHash candidates come from equality on any of four 16-bit chunks
+  (pigeonhole: hamming ≤ 3 guarantees a matching chunk), then exact
+  hamming verify via xor+bit_count.
+
+Everything is built-in expressions (xxhash64, transform, aggregate,
+zip_with) — no Python UDFs, the whole pipeline stays in codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.tables import t
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM (
+      SELECT source, text,
+             ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha2 content hash, keep the lowest doc_id per hash."""
+    docs = t(spark, sf_dir, "documents").withColumn("h", F.sha2("text", 256))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.w, b.w))), 6) AS jaccard
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.w, b.w))) >= 0.95
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs within a source block (τ=0.95).
+
+    Blocking on `source` keeps the pair space O(block²); the LSH query
+    below is the unblocked variant.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w")))
+    union = F.size(F.array_union(F.col("a.w"), F.col("b.w")))
+    jaccard = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jaccard >= 0.95)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jaccard, 6).alias("jaccard"),
+        )
+    )
+
+
+_SHINGLE_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             )) AS s
+      FROM t WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+"""
+
+_N_MINHASH = 16
+_BAND_ROWS = 2  # 8 bands x 2 rows
+
+
+def _shingles(col):
+    """Distinct 3-gram word shingles as an array column (built-ins only)."""
+    w = F.split(col, " ")
+    n = F.size(w)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+            ),
+        )
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_SHINGLE_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection over 3-gram shingles (τ=0.9).
+
+    shingle → 16 minhash signatures (xxhash64 with per-function salt) →
+    8 bands of 2 → inverted-index self-join on band value → exact
+    Jaccard verification of candidates. Shares the exact all-pairs SQL
+    oracle because recall at τ=0.9 is ≈1 (see module docstring) and
+    precision is exact after verification.
+    """
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
+    mh = docs.select(
+        "doc_id",
+        "sh",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("sh"),
+                        lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#{i}"))),
+                    )
+                )
+                for i in range(_N_MINHASH)
+            ]
+        ).alias("sig"),
+    )
+    n_bands = _N_MINHASH // _BAND_ROWS
+    bands = mh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig").getItem(b * _BAND_ROWS + r).cast("string")
+                                for r in range(_BAND_ROWS)
+                            ],
+                        ).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.band_id", "band.band_val")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jaccard = inter.cast("double") / union
+    return (
+        candidates.where(jaccard >= 0.9)
+        .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_simhash")  # rows-only: hash-dependent signatures
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (hamming ≤ 3).
+
+    Token hashes fold into a 64-dim sign vector with aggregate+zip_with
+    (no explode — one row per doc throughout). Candidates via the
+    pigeonhole principle: hamming ≤ 3 over 4 chunks of 16 bits implies
+    at least one identical chunk; exact verify with xor + bit_count.
+    """
+    from functools import reduce
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda w: F.xxhash64(w)
+        ).alias("hashes"),
+    )
+    # counts[i] = sum over token hashes of ±1 for bit i; bit positions are
+    # unrolled statically because shiftright takes a literal shift.
+    def bit_count_col(i: int):
+        return F.aggregate(
+            "hashes",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    simhash = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(bit_count_col(i) > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+            for i in range(64)
+        ],
+    )
+    sims = docs.select("doc_id", simhash.alias("simhash"))
+    chunks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

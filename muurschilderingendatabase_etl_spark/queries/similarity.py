@@ -1,0 +1,218 @@
+"""Similarity search over the embeddings table (north-star extension).
+
+Brute-force cosine top-k is the correctness baseline (oracle-checked
+against DuckDB's list functions); the LSH-bucketed variant is the scale
+path — random-hyperplane signatures bucket the vectors so each query
+probes one bucket family instead of the full table.
+
+Scale notes:
+- Vectors are cast float→double ONCE, norms precomputed, and the dot
+  product is a JVM-side aggregate/zip_with fold — no Python UDF, no
+  explode (the 64-dim arrays never blow up into rows).
+- Brute force is a broadcast nested-loop of |Q| queries × corpus —
+  linear in the corpus for a fixed query set, embarrassingly parallel.
+  Top-k per query is a window over (query, cosine) — shuffle carries
+  only (q_id, vec_id, cosine).
+- The LSH variant trades recall for a corpus-partition-local probe:
+  at 100 TB you bucket once (write-time), then each query touches
+  2^probes buckets. Hyperplanes are seeded literals so results are
+  deterministic and testable.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.tables import t
+
+_TOP_K = 5
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+_BRUTE_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS cosine
+      FROM q CROSS JOIN c
+      WHERE q.q_id <> c.vec_id
+    )
+    SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, vec_id
+      ) AS rk
+      FROM scored
+    )
+    WHERE rk <= {_TOP_K}
+"""
+
+
+@query("similarity_topk_bruteforce", oracle=_BRUTE_ORACLE)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    corpus = emb.select(
+        F.col("vec_id"), F.col("v").alias("cv"), _norm(F.col("v")).alias("cnorm")
+    )
+    queries_df = (
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            _norm(F.col("v")).alias("qnorm"),
+        )
+    )
+    cosine = _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries_df))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _TOP_K)
+        .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rk")
+    )
+
+
+_N_PLANES = 8
+_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    rng = random.Random(42)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_N_PLANES)
+    ]
+
+
+@query("similarity_lsh_ann")  # rows-only: bucketing is engine-specific
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH with multiprobe.
+
+    Sign pattern over 8 seeded hyperplanes → 256 buckets; each query
+    probes its own bucket plus all hamming-1 neighbors (9 probes),
+    then exact cosine re-ranks within candidates. Deterministic
+    (seeded planes, tiebreak on vec_id).
+    """
+    planes = _hyperplanes()
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+
+    def bucket_of(vcol):
+        bits = [
+            F.when(
+                _dot(vcol, F.array(*[F.lit(x) for x in plane])) >= 0, 1 << i
+            ).otherwise(0)
+            for i, plane in enumerate(planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    corpus = emb.select(
+        "vec_id", F.col("v").alias("cv"), _norm(F.col("v")).alias("cnorm"),
+        bucket_of(F.col("v")).alias("bucket"),
+    )
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)],
+    )
+    queries_df = (
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            _norm(F.col("v")).alias("qnorm"),
+            bucket_of(F.col("v")).alias("qbucket"),
+        )
+        .select("q_id", "qv", "qnorm", F.explode(probes).alias("probe"))
+    )
+    cosine = _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
+    scored = (
+        corpus.join(F.broadcast(queries_df), F.col("bucket") == F.col("probe"))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", cosine.alias("cosine"))
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _TOP_K)
+        .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+_PAIR_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v)))), 4) AS avg_cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 60 AND b.vec_id < 60
+    GROUP BY a.label, b.label
+"""
+
+
+@query("similarity_label_cohesion", oracle=_PAIR_ORACLE)
+def similarity_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average pairwise cosine within/between labels on a bounded slice —
+    the ground-truth check that labels cluster in embedding space."""
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 60)
+        .select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cosine = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(cosine), 4).alias("avg_cosine"),
+        )
+    )

@@ -1,0 +1,193 @@
+"""Text analysis operators (north-star extension): language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+All per-document computations are single-pass column expressions over
+the text — no shuffle until the final aggregation, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.tables import t
+
+# Tiny per-language marker-word lists for the n-gram/stopword heuristic.
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "es"],
+}
+
+
+def _hit_count(words, markers: list[str]):
+    return F.size(F.filter(words, lambda w: w.isin(markers)))
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to')))   AS s_en,
+        len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist'))) AS s_de,
+        len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et','les','des')))  AS s_fr,
+        len(list_filter(string_split(text, ' '), w -> w IN ('el','los','las','una','es'))) AS s_es
+      FROM documents
+    )
+    SELECT predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT CASE
+        WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+        WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+        WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+        WHEN s_fr >= s_es THEN 'fr'
+        ELSE 'es' END AS predicted
+      FROM scored
+    )
+    GROUP BY predicted
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID: argmax of marker-word counts with a
+    deterministic priority order (en > de > fr > es) on ties."""
+    words = F.split("text", " ")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        *[
+            _hit_count(words, m).alias(f"s_{lang}")
+            for lang, m in _LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest("s_en", "s_de", "s_fr", "s_es")
+    predicted = (
+        F.when(best == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_fr", "s_es"), "en")
+        .when(F.col("s_de") >= F.greatest("s_fr", "s_es"), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return (
+        docs.groupBy(predicted.alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang,
+        len(string_split(text, ' ')) AS n_words,
+        length(text) AS n_chars,
+        length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the','a','and','of','to'))) AS n_stop
+      FROM documents
+    )
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      ROUND(AVG(CAST(n_chars AS DOUBLE) / n_words), 4)  AS avg_word_len,
+      ROUND(AVG(CAST(n_punct AS DOUBLE) / n_chars), 6)  AS avg_punct_ratio,
+      ROUND(AVG(CAST(n_stop AS DOUBLE) / n_words), 6)   AS avg_stopword_ratio,
+      CAST(SUM(CASE WHEN n_words BETWEEN 20 AND 1000
+                     AND CAST(n_stop AS DOUBLE) / n_words < 0.5
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM q GROUP BY lang
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality gates per language
+    — the classic pre-training corpus filter shape."""
+    words = F.split("text", " ")
+    stop = _hit_count(words, _LANG_MARKERS["en"])
+    docs = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(words).alias("n_words"),
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+        ).alias("n_punct"),
+        stop.alias("n_stop"),
+    )
+    word_ratio = F.col("n_chars").cast("double") / F.col("n_words")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    passes = (
+        F.col("n_words").between(20, 1000) & (stop_ratio < 0.5)
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(word_ratio), 4).alias("avg_word_len"),
+        F.round(F.avg(punct_ratio), 6).alias("avg_punct_ratio"),
+        F.round(F.avg(stop_ratio), 6).alias("avg_stopword_ratio"),
+        F.sum(F.when(passes, 1).otherwise(0)).alias("n_pass"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT source,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT)
+        AS bpe_ish_tokens,
+      CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (letters runs,
+    digit runs, single other symbols) — the budget estimator for
+    training-data pipelines."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).alias("ws_tokens"),
+            F.sum(
+                F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)))
+            ).alias("bpe_ish_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+
+
+@query("text_fingerprint")  # rows-only: xxhash64-based winnowing
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints: hash 3-gram shingles, take
+    the minimum hash per sliding window of 4 shingles, keep the
+    distinct minima. Standard MOSS-style fingerprinting; fingerprints
+    overlap ⇒ likely shared passages."""
+    w = F.split("text", " ")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 3),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ",
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+                F.element_at(w, i + 3),
+            )
+        ),
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("sh")) - 4),
+        lambda i: F.array_min(F.slice(F.col("sh"), i + 1, 4)),
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.size(w) >= 6)
+        .select("doc_id", shingle_hashes.alias("sh"))
+        .select("doc_id", F.array_distinct(windows).alias("fingerprints"))
+        .select(
+            "doc_id",
+            F.size("fingerprints").alias("n_fingerprints"),
+            F.array_min("fingerprints").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
