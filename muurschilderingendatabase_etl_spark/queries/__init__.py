@@ -15,6 +15,7 @@ from muurschilderingendatabase_etl_spark.queries import (  # noqa: F401
     setops,
     similarity,
     sort_limit,
+    streaming_windows,
     textanalysis,
     windows,
 )

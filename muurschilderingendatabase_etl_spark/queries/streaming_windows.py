@@ -1,0 +1,211 @@
+"""Structured Streaming operators over the events table (SURVEY.md §2.3
+'Streaming'; reference has no streaming — this is north-star surface).
+
+Each query replays the events parquet through ``readStream`` with
+``trigger(availableNow=True)`` (streaming/replay.py) and materializes the
+result via a memory sink, so the registered callable still returns a batch
+DataFrame for the driver to collect. The topology is the production one:
+swap the file source for Kafka and the same plan runs continuously.
+
+Oracle notes:
+- Tumbling/sliding/session windows are batch-equivalent, so they get full
+  SQL oracles (sliding = union of the two 12h-offset bucket assignments;
+  session = gaps-and-islands with the same `diff >= gap` boundary rule
+  Spark uses for session merging).
+- The watermark query IS deterministic under availableNow replay: the
+  final no-data micro-batch advances the watermark to max(ts) - delay and
+  append mode emits exactly the windows whose end <= watermark. The oracle
+  reproduces that cutoff in SQL.
+- Window starts are emitted as formatted strings on both sides, dodging
+  the Spark-µs vs DuckDB-ns timestamp precision trap.
+
+Scale notes: windowed streaming aggregation state is partitioned by
+(group keys) across executors; watermarks bound state size. Session
+windows use Spark's built-in session merge (local partial merge before
+shuffle). Nothing here holds unbounded state except the two complete-mode
+demos, whose production form would carry the same watermark as the append
+query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.streaming.replay import (
+    read_events_stream,
+    run_to_memory,
+)
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window counts+sums per event_type via readStream."""
+    ev = read_events_stream(spark, sf_dir)
+    win = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(win, "complete")
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL 12 HOUR, ts) - k * INTERVAL 12 HOUR AS ws,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1)) offs(k)
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day windows sliding every 12h: each event lands in 2 windows."""
+    ev = read_events_stream(spark, sf_dir)
+    win = (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(win, "complete")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap session windows per user (Spark session_window merge:
+    same session while next.ts < prev.ts + gap, i.e. new when diff >= gap —
+    the oracle's islands condition mirrors that exactly)."""
+    ev = read_events_stream(spark, sf_dir)
+    win = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(win, "complete")
+
+
+@query(
+    "stream_watermark_append",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1
+    """,
+)
+def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hourly windows in append mode: only windows finalized
+    by the end-of-replay watermark (max event time - 1h) are emitted —
+    the oracle reproduces that cutoff."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    win = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+    return run_to_memory(win, "append")
+
+
+@query(
+    "stream_dedup_stateful",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) — first arrival
+    wins; state partitioned by key across executors."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_memory(deduped, "append")
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: like stateful dedup but state for a
+    key expires once the watermark passes its event time + delay — bounded
+    state at 100 TB. Single-batch replay never expires state mid-stream,
+    so the result equals plain DISTINCT deterministically."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.select("ts", "user_id", "event_type").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return run_to_memory(deduped, "append")

@@ -20,16 +20,23 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+_STAGED: dict[tuple[str, str], str] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parquet")
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    """Stream the events table: Spark's file stream source requires a
+    directory, so stage the (timestamp-normalized) events parquet into a
+    session-scoped temp dir once per sf_dir, then readStream from it."""
+    from muurschilderingendatabase_etl_spark.tables import t
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    staged = _STAGED.get(key)
+    if staged is None:
+        staged = tempfile.mkdtemp(prefix="msdb_events_stage_")
+        t(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+        _STAGED[key] = staged
+    schema = spark.read.parquet(staged).schema
+    return spark.readStream.schema(schema).parquet(staged)
 
 
 def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame:
