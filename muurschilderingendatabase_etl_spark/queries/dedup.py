@@ -82,19 +82,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking on `source` keeps the pair space O(block²); the LSH query
     below is the unblocked variant.
     """
+    import math
+
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
+    ).withColumn("n", F.size("w"))
+    # Size-bound prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so τ=0.95
+    # requires set sizes within 5%. Exploited twice:
+    # (1) the join KEY gets a log-size bucket (bucket width = one 5% step,
+    #     matching pairs are in the same or adjacent buckets) — this breaks
+    #     the skew of joining on `source` alone (few distinct sources →
+    #     few shuffle keys → O(block²) work on a handful of tasks);
+    # (2) the exact 5% check runs in the join before any array intersect.
+    bucket = F.floor(F.log(F.col("n").cast("double")) / math.log(1 / 0.95)).cast(
+        "long"
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
+    a = docs.withColumn("bk", bucket).alias("a")
+    b = docs.withColumn(
+        "bk", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    ).alias("b")
     inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w")))
     union = F.size(F.array_union(F.col("a.w"), F.col("b.w")))
     jaccard = inter.cast("double") / union
+    size_band = (
+        (F.col("a.n").cast("double") >= F.col("b.n") * 0.95)
+        & (F.col("b.n").cast("double") >= F.col("a.n") * 0.95)
+    )
     return (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_band,
         )
         .where(jaccard >= 0.95)
         .select(
@@ -127,9 +147,12 @@ _N_MINHASH = 16
 _BAND_ROWS = 2  # 8 bands x 2 rows
 
 
-def _shingles(col):
-    """Distinct 3-gram word shingles as an array column (built-ins only)."""
-    w = F.split(col, " ")
+def _shingles(wcol):
+    """Distinct 3-gram word shingles from a *materialized* words-array
+    column. (Passing a raw `split(...)` expression here would inline the
+    split into every element access inside the lambda — O(n²); callers
+    must project the words array into a column first.)"""
+    w = F.col(wcol)
     n = F.size(w)
     return F.array_distinct(
         F.transform(
@@ -151,14 +174,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle because recall at τ=0.9 is ≈1 (see module docstring) and
     precision is exact after verification.
     """
+    # Repartition before shingling: the fixture is one parquet file (one
+    # input split) and shingle+minhash is the CPU-heavy part — spread it
+    # across all cores. On a real cluster the scan already has many
+    # splits, and this becomes a cheap round-robin of small rows.
     docs = (
         t(spark, sf_dir, "documents")
-        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", _shingles("w").alias("sh"))
         .where(F.size("sh") > 0)
     )
     mh = docs.select(
         "doc_id",
-        "sh",
         F.array(
             *[
                 F.array_min(
@@ -172,9 +200,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sig"),
     )
     n_bands = _N_MINHASH // _BAND_ROWS
+    # Band rows carry ONLY (doc_id, band_id, band_val): the inverted-index
+    # self-join shuffles 8 small rows per doc, never the shingle arrays —
+    # those are re-attached to the (few) candidate pairs afterwards. At
+    # 100 TB this is the difference between shuffling ~50 B/doc/band and
+    # shuffling the whole shingled corpus 8×.
     bands = mh.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -192,7 +224,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_id", "band.band_val")
+    ).select("doc_id", "band.band_id", "band.band_val")
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -206,16 +238,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jaccard = inter.cast("double") / union
     return (
-        candidates.where(jaccard >= 0.9)
+        pairs.where(jaccard >= 0.9)
         .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
     )
 
@@ -231,11 +264,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from functools import reduce
 
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(F.split("text", " ")), lambda w: F.xxhash64(w)
-        ).alias("hashes"),
+    # Repartition: 64 aggregate() folds per row is the CPU hot spot and
+    # the single-file fixture scan gives only one input split.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(F.split("text", " ")), lambda w: F.xxhash64(w)
+            ).alias("hashes"),
+        )
     )
     # counts[i] = sum over token hashes of ±1 for bit i; bit positions are
     # unrolled statically because shiftright takes a literal shift.

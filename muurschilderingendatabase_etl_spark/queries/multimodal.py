@@ -79,7 +79,13 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    media = _media_table(spark, sf_dir).select("doc_id", "content")
+    # Repartition: single-file fixture scan = one split; spreading rows
+    # lets one Python worker per core process Arrow batches in parallel.
+    media = (
+        _media_table(spark, sf_dir)
+        .select("doc_id", "content")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

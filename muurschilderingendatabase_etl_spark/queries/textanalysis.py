@@ -163,7 +163,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minimum hash per sliding window of 4 shingles, keep the
     distinct minima. Standard MOSS-style fingerprinting; fingerprints
     overlap ⇒ likely shared passages."""
-    w = F.split("text", " ")
+    # Materialize the words array as a column BEFORE indexing into it:
+    # referencing `F.split(...)` inside a transform lambda inlines the
+    # split per element access, turning shingling O(n) into O(n²).
+    w = F.col("w")
     shingle_hashes = F.transform(
         F.sequence(F.lit(0), F.size(w) - 3),
         lambda i: F.xxhash64(
@@ -181,6 +184,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size(w) >= 6)
         .select("doc_id", shingle_hashes.alias("sh"))
         .select("doc_id", F.array_distinct(windows).alias("fingerprints"))
