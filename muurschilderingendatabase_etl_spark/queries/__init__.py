@@ -17,5 +17,6 @@ from muurschilderingendatabase_etl_spark.queries import (  # noqa: F401
     sort_limit,
     streaming_windows,
     textanalysis,
+    udf_surface,
     windows,
 )

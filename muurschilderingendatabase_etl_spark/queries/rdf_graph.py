@@ -142,3 +142,26 @@ def rdf_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in parse_turtle_text(text)
     ]
     return spark.createDataFrame(reparsed, TRIPLES_SCHEMA).orderBy("s", "p", "o")
+
+
+@query("rdf_rest_source_scan")  # rows-only: external-source op (SURVEY O1)
+def rdf_rest_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated REST source scan (O1, export_from_omeka_s.py:37-47)
+    driven by a deterministic stub fetcher: 3 synthetic Turtle pages of
+    100 items each, then an empty page triggering the early stop. The
+    scan machinery (page loop, stop condition, SSL tolerance, quarantine
+    column) is the real engine code from rdf/source.py."""
+    from muurschilderingendatabase_etl_spark.rdf.source import scan_paginated
+
+    def fetcher(page: int) -> str:
+        if page > 3:
+            return ""  # empty page -> early stop (export:43-47)
+        lines = [
+            f'<https://muurschilderingendatabase.nl/item/{(page - 1) * 100 + i}> '
+            f'<http://purl.org/dc/terms/title> "item {(page - 1) * 100 + i}" .'
+            for i in range(100)
+        ]
+        return "\n".join(lines)
+
+    parsed = scan_paginated(spark, fetcher)
+    return triples_only(parsed).select("s", "p", "o").orderBy("s", "p", "o")

@@ -1,0 +1,158 @@
+"""UDF surface (SURVEY.md §2.3 'UDF surface'): scalar Python UDF,
+Arrow-vectorized pandas UDF, UDAF via applyInPandas, Python UDTF.
+
+These exist to prove the extension surface, not as the preferred path —
+every one of them is expressible as built-ins (and the rest of this repo
+does exactly that). Scale stance:
+
+- The row-at-a-time scalar UDF is deliberately run on a key-pruned
+  subset: it serializes one row per Python call and is the documented
+  slow path (~10-100× slower than codegen built-ins).
+- The pandas UDF and applyInPandas cross the JVM↔Python boundary once
+  per Arrow batch — the acceptable Python path for logic that genuinely
+  needs numpy/pandas.
+- applyInPandas shuffles by the grouping key; group size must fit one
+  executor's memory (fine for per-lang stats; for huge groups,
+  pre-aggregate or use built-in percentile_approx instead).
+- The UDTF fans rows out executor-side (no driver involvement).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.tables import t
+
+
+@query(
+    "udf_scalar_python",
+    oracle="""
+    SELECT c_custkey,
+           CAST(length(c_name) - length(regexp_replace(c_name, '[aeiouAEIOU]', '', 'g'))
+                AS INT) AS n_vowels
+    FROM customer
+    WHERE c_custkey < 500
+    """,
+)
+def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (vowel count) on a pruned subset — the
+    documented slow path; kept small on purpose."""
+
+    @F.udf("int")
+    def n_vowels(s: str) -> int:
+        return sum(1 for ch in s if ch in "aeiouAEIOU")
+
+    return (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 500)
+        .select("c_custkey", n_vowels("c_name").alias("n_vowels"))
+    )
+
+
+@query(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(AVG(ln(1 + l_extendedprice) * (1 - l_discount)), 4) AS avg_score,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF: numpy log-score per line, aggregated by
+    return flag. One Python crossing per Arrow batch, vectorized inside."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def score(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return np.log1p(price) * (1.0 - discount)
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", score("l_extendedprice", "l_discount").alias("s"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("s"), 4).alias("avg_score"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "udaf_apply_in_pandas",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(median(CAST(length(text) AS DOUBLE)), 2) AS median_len,
+           ROUND(stddev_samp(CAST(length(text) AS DOUBLE)), 2) AS sd_len
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udaf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via groupBy().applyInPandas: per-language median and
+    sample stddev of document length (median is the classic
+    not-built-in-exactly aggregate; pandas and DuckDB both interpolate
+    the middle pair). Shuffles by lang; one pandas frame per group."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        lens = pdf["text"].str.len().astype("float64")
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "median_len": [round(lens.median(), 2)],
+                "sd_len": [round(lens.std(ddof=1), 2)],
+            }
+        )
+
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", "text")
+        .groupBy("lang")
+        .applyInPandas(
+            stats, schema="lang string, n_docs long, median_len double, sd_len double"
+        )
+    )
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+    SELECT doc_id, sentence
+    FROM (
+      SELECT doc_id, trim(unnest(string_split(text, '. '))) AS sentence
+      FROM documents
+      WHERE doc_id < 50
+    )
+    WHERE sentence <> ''
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+/4): one input row fans out to one row per
+    sentence, executor-side via a lateral join."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="sentence: string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for part in text.split(". "):
+                part = part.strip()
+                if part:
+                    yield (part,)
+
+    spark.udtf.register("msdb_sentence_split", SentenceSplit)
+    t(spark, sf_dir, "documents").where(F.col("doc_id") < 50).createOrReplaceTempView(
+        "msdb_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence
+        FROM msdb_udtf_docs d,
+             LATERAL msdb_sentence_split(d.text) s
+        """
+    )
