@@ -1,0 +1,87 @@
+"""Physical-plan regression tests (the 100-TB-scale contract).
+
+Correctness tests prove operators compute the right answer at small SF;
+these prove the PLAN is the one that survives a 1000× scale-up: filters
+reach the parquet scan, projections prune the read schema, small dims
+broadcast instead of shuffling, aggregates combine map-side, and the hot
+path stays inside whole-stage codegen."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from muurschilderingendatabase_etl_spark import registry
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = registry.all_queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_flagship_broadcasts_and_pushdown(spark):
+    p = _plan(spark, "flagship_revenue_by_nation")
+    # All three dim joins broadcast — no shuffle join anywhere.
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # The order-date predicate reaches the parquet scan.
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_scan_pushdown_and_column_pruning(spark):
+    p = _plan(spark, "scan_parquet_pushdown")
+    assert "GreaterThan(l_discount,0.05)" in p
+    # Projection pruning: the 16-column lineitem scan reads only the
+    # columns the query touches.
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" not in read_schema
+    assert read_schema.count(":") <= 5
+
+
+def test_partial_aggregation(spark):
+    # Map-side combine: partial + final HashAggregate pairs.
+    p = _plan(spark, "agg_pricing_summary")
+    assert p.count("HashAggregate") >= 2
+    assert "partial_" in p
+
+
+def test_semi_join_stays_semi(spark):
+    p = _plan(spark, "join_left_semi")
+    assert "LeftSemi" in p
+
+
+def test_hot_path_in_codegen(spark):
+    # Under AQE the codegen markers only exist in the FINAL adaptive plan,
+    # so execute first, then read the simple-mode plan ('*(n)' = a
+    # whole-stage-codegen stage).
+    df = registry.all_queries()["flagship_revenue_by_nation"](spark, SF_DIR)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    p = buf.getvalue()
+    assert "isFinalPlan=true" in p
+    assert re.search(r"\*\(\d+\)", p)
+
+
+def test_minhash_band_join_sheds_shingles(spark):
+    # The LSH band self-join must not carry shingle arrays through the
+    # exchange: no 'sh' column in any Exchange below the band join.
+    # Any exchange keyed on band columns (hash shuffle at scale; the tiny
+    # test SF may broadcast instead, which moves even less) must not carry
+    # the shingle arrays.
+    p = _plan(spark, "dedup_minhash_lsh")
+    band_exchanges = [
+        l
+        for l in p.splitlines()
+        if ("hashpartitioning" in l or "BroadcastMode" in l) and "band_val" in l
+    ]
+    assert all("sh#" not in l for l in band_exchanges)
+    # Minhashing itself stays JVM-side (no Python UDF node anywhere).
+    assert "xxhash64" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
