@@ -10,6 +10,7 @@ from muurschilderingendatabase_etl_spark.queries import (  # noqa: F401
     multimodal,
     projection,
     rdf_graph,
+    relational_extras,
     scalar_fns,
     scans,
     setops,

@@ -334,3 +334,63 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# The synthetic embeddings have no true near-dups (max intra-label
+# cosine ≈ 0.51), so the threshold is set where the fixture actually has
+# matching pairs; the operator semantics are threshold-independent.
+_COSINE_TAU = 0.35
+
+_EMB_COSINE_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {_COSINE_TAU}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_COSINE_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (τ=_COSINE_TAU), blocked on label.
+
+    The label block stands in for any cheap partitioner (cluster id,
+    shard, LSH bucket) that keeps the pair space out of O(n²); within a
+    block the dot product is a JVM-side zip_with/aggregate fold over the
+    double-cast vectors — norms computed once per row, never per pair.
+    """
+    from muurschilderingendatabase_etl_spark.queries.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cosine = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .where(F.col("cosine") >= _COSINE_TAU)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,199 @@
+"""Additional relational operators rounding out SURVEY.md §2.3: pivot,
+multiset set-ops (EXCEPT ALL / INTERSECT ALL), union-by-name with missing
+columns, exact percentiles, correlation/covariance aggregates,
+positional explode, and seeded sampling.
+
+Scale notes: the pivot passes an explicit value list (no extra distinct
+pass over the data to discover pivot columns); percentiles use the exact
+`percentile` aggregate here where the oracle needs exactness — at 100 TB
+you'd reach for `approx_percentile` (t-digest, mergeable sketches, no
+global sort) and accept the documented error bound.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.tables import t
+
+# TPC-H market segments are a fixed domain; passing them explicitly keeps
+# pivot from running a discovery job over the fact table.
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "pivot_segment_by_year",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           {", ".join(
+               f"ROUND(SUM(CASE WHEN c_mktsegment = '{s}' THEN o_totalprice END), 2)"
+               f" AS {s}" for s in _SEGMENTS
+           )}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY order_year
+    """,
+)
+def pivot_segment_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue per market segment (columns) by order year (rows)."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "c_mktsegment",
+        "o_totalprice",
+    )
+    pivoted = (
+        joined.groupBy("order_year")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return pivoted
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference: each duplicate survives count(left)-count(right)
+    times, unlike EXCEPT's set semantics."""
+    orders = t(spark, sf_dir, "orders")
+    left = orders.select("o_custkey")
+    right = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return left.exceptAll(right)
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    left = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    right = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return left.intersectAll(right)
+
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+    SELECT n_name AS name, CAST(n_nationkey AS BIGINT) AS key, 'nation' AS kind
+    FROM nation
+    UNION ALL BY NAME
+    SELECT 'region' AS kind, r_name AS name, CAST(r_regionkey + 1000 AS BIGINT) AS key
+    FROM region
+    """,
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: schemas align by column NAME, not position — the
+    second input deliberately presents its columns in a different order."""
+    nations = t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"),
+        F.col("n_nationkey").cast("long").alias("key"),
+        F.lit("nation").alias("kind"),
+    )
+    regions = t(spark, sf_dir, "region").select(
+        F.lit("region").alias("kind"),
+        F.col("r_name").alias("name"),
+        (F.col("r_regionkey") + 1000).cast("long").alias("key"),
+    )
+    return nations.unionByName(regions)
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.25)  / 100, 4) AS p25,
+           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.5)   / 100, 4) AS p50,
+           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.75)  / 100, 4) AS p75,
+           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.875) / 100, 4) AS p875
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per return flag.
+
+    Cross-engine determinism: interpolate over exact integer CENTS with
+    binary-exact quantile fractions (k/8), so every intermediate double
+    is exact and both engines produce bit-identical values — rounding a
+    raw dollar median would sit on a half-cent boundary and amplify a
+    1-ulp interpolation difference into a whole cent."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0)
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile(cents, F.lit(q)) / 100, 4).alias(name)
+            for q, name in [
+                (0.25, "p25"),
+                (0.5, "p50"),
+                (0.75, "p75"),
+                (0.875, "p875"),
+            ]
+        ]
+    )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(stddev_samp(l_extendedprice), 2)            AS sd_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    )
+
+
+@query(
+    "project_posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id < 20
+    """,
+)
+def project_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: one row per word with its 0-based position."""
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    )
+
+
+@query("sample_seeded")  # rows-only: sampling RNG is engine-specific
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample with a fixed seed — deterministic within Spark
+    (reproducible pipelines) but not across engines, hence rows-only."""
+    return (
+        t(spark, sf_dir, "orders")
+        .sample(fraction=0.1, seed=42)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
