@@ -16,6 +16,7 @@ from muurschilderingendatabase_etl_spark.queries import (  # noqa: F401
     setops,
     similarity,
     sort_limit,
+    sql_api,
     streaming_windows,
     textanalysis,
     udf_surface,

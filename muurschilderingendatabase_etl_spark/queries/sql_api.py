@@ -1,0 +1,158 @@
+"""Spark SQL text API (north star: "DataFrame transformations + Spark
+SQL"). The rest of the suite exercises the DataFrame API; these queries
+run as SQL text through ``spark.sql`` over registered temp views —
+identical Catalyst plans, second front door.
+
+Also here: the salted two-phase aggregation pattern (the hand-rolled
+skew-mitigation every 100-TB pipeline eventually needs when one group
+key dominates: pre-aggregate on (key, salt), then combine on key — the
+heavy key's rows spread over N salt buckets instead of one reducer) and
+ordered string_agg.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.tables import t
+
+_N_SALT = 16
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str, view: str) -> None:
+    t(spark, sf_dir, name).createOrReplaceTempView(view)
+
+
+@query(
+    "sql_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority AS orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < DATE '1997-03-15'
+      AND l_shipdate > DATE '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape, submitted as SQL text via spark.sql."""
+    for name in ("customer", "orders", "lineitem"):
+        _view(spark, sf_dir, name, name)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o_orderpriority AS orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < DATE '1997-03-15'
+          AND l_shipdate > DATE '1997-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@query(
+    "sql_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (6-way join) as SQL text — Catalyst picks the join
+    order and broadcasts the dims; no hand-scheduling."""
+    for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _view(spark, sf_dir, name, name)
+    return spark.sql(
+        """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC
+        """
+    )
+
+
+@query(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation: phase 1 groups on (key, salt) so a
+    dominant key spreads over _N_SALT reducers, phase 2 combines the
+    partials per key. Result is identical to the direct groupBy (the
+    oracle IS the direct groupBy)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "salt", (F.rand(seed=7) * _N_SALT).cast("int")
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 2).alias("total"),
+    )
+
+
+@query(
+    "agg_string_agg_ordered",
+    oracle="""
+    SELECT r_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list → array_sort →
+    concat_ws (deterministic regardless of row arrival order)."""
+    joined = t(spark, sf_dir, "nation").join(
+        F.broadcast(t(spark, sf_dir, "region")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return joined.groupBy("r_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+    )

@@ -209,3 +209,83 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         ["user_id", "event_type"]
     ).select("user_id", "event_type")
     return run_to_memory(deduped, "append")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (batch)
+    customer dim — the standard streaming enrichment topology. The dim
+    side is broadcast; no stream-side shuffle for the join."""
+    from muurschilderingendatabase_etl_spark.tables import t
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running stats carried in GroupState across micro-batches
+    (count, sum, distinct-type set), emitted on stream end. The state
+    value is a bounded summary — not the rows — so state size is
+    O(users), the 100-TB-safe shape. Deterministic under availableNow
+    replay, hence oracle-checkable."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+
+    def update(key, pdfs, state: GroupState):
+        n, total, types = (
+            state.get if state.exists else (0, 0.0, "")
+        )
+        seen = set(types.split("|")) - {""}
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            seen |= set(pdf["event_type"])
+        state.update((n, total, "|".join(sorted(seen))))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "n_types": [len(seen)],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double, n_types long",
+        stateStructType="n long, total double, types string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # Update mode re-emits a user's row each batch it appears in; the
+    # single-batch availableNow replay emits exactly one row per user.
+    return run_to_memory(out, "update")

@@ -165,3 +165,104 @@ def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round(F.col("c_acctbal") / F.sum("c_acctbal").over(w), 6).alias("bal_share"),
     )
+
+
+@query(
+    "window_rank_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(ntile(4) OVER w AS INT)            AS quartile,
+           ROUND(percent_rank() OVER w, 6)         AS pct_rank,
+           ROUND(cume_dist() OVER w, 6)            AS cdist
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist
+    over a price ordering per priority class."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(first_value(o_totalprice) OVER w, 2) AS cheapest,
+           ROUND(last_value(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ), 2) AS priciest,
+           ROUND(nth_value(o_totalprice, 2) OVER w, 2) AS second_cheapest
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with an explicit unbounded frame (the default
+    frame would make last_value degenerate to the current row)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.first("o_totalprice").over(w), 2).alias("cheapest"),
+            F.round(F.last("o_totalprice").over(w), 2).alias("priciest"),
+            F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias(
+                "second_cheapest"
+            ),
+        )
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS totalprice,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+           ) AS BIGINT) AS n_similar_priced
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): count of the customer's
+    orders within ±1000 of each order's price."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.count(F.lit(1)).over(w).alias("n_similar_priced"),
+        )
+    )
