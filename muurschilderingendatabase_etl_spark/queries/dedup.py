@@ -394,3 +394,85 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine") >= _COSINE_TAU)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+_CC_ORACLE = """
+    WITH RECURSIVE
+    t AS (
+      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS pa, b.doc_id AS pb
+      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.w, b.w))) >= 0.95
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r
+      FROM edges e JOIN reach ON reach.node = e.dst
+    )
+    SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach
+    GROUP BY node
+"""
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    near-dup pair graph (τ=0.95 word-set Jaccard), component id = min
+    doc_id in the cluster — the canonical 'pick one representative per
+    dup cluster' step that follows pair mining in a training-data
+    pipeline.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own and its neighbors' labels (one join + one groupBy per
+    round); converges in O(graph diameter) rounds. localCheckpoint
+    truncates lineage so the plan doesn't grow per iteration — the
+    standard Spark pattern for iterative algorithms (same shape at
+    100 TB, where the oracle's transitive-closure CTE would explode).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    edges = edges.repartition("src").localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(50):  # diameter bound; real data converges in a few
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

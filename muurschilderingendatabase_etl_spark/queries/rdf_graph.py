@@ -165,3 +165,19 @@ def rdf_rest_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parsed = scan_paginated(spark, fetcher)
     return triples_only(parsed).select("s", "p", "o").orderBy("s", "p", "o")
+
+
+@query("rdf_enrichment_join")  # rows-only: external lookup join (SURVEY O12)
+def rdf_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 end-to-end (transform_datamodel.py:88-109) on the nation
+    graph: distinct-key extraction with RM-strip, per-key lookup through
+    an injectable fetcher (deterministic stub here — the live fetcher is
+    the same code path), Turtle-parse of the responses, set-semantics
+    union, and the type-gated sameAs semi-join."""
+    graph = _nation_graph(spark, sf_dir)
+
+    def stub_fetcher(key: str) -> str:
+        return f'<urn:monument:{key}> <urn:p:identifier> "{key}" .'
+
+    enriched = transform.enrich_with_rijksmonument_data(graph, stub_fetcher)
+    return enriched.select("s", "p", "o").orderBy("s", "p", "o")
