@@ -450,18 +450,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(50):  # diameter bound; real data converges in a few
+    for _ in range(32):  # ≥ log2(diameter) thanks to pointer jumping
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        stepped = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer jumping: also adopt the label of my current label, which
+        # doubles propagation distance per round — O(log diameter) rounds
+        # instead of O(diameter), the difference that matters when dup
+        # chains are long.
+        hop = stepped.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            stepped.join(hop, stepped.label == hop.jnode, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
