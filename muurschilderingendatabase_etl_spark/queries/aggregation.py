@@ -219,3 +219,21 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") >= 15)
     )
+
+
+@query("agg_approx_percentile")  # rows-only: t-digest sketch values are
+# engine-specific; the exact-percentile twin (agg_percentiles) carries
+# the oracle.
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the mergeable-sketch percentile for 100 TB
+    (no per-group sort or value buffering, partial aggregation merges
+    sketches map-side). Accuracy set to 1/10000 relative error."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2
+        ).alias("p50_approx"),
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)), 2
+        ).alias("p99_approx"),
+    )

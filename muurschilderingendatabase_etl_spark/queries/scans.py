@@ -98,3 +98,42 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+@query("scan_json_corrupt_records")  # rows-only: quarantine policy (O20)
+def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode JSON scan with a _corrupt_record quarantine column
+    — the engine-wide malformed-input policy (SURVEY O20: the reference
+    catches BadSyntax at pipeline level; we quarantine per row instead of
+    failing the job). Two of the five synthetic lines are broken; they
+    surface as rows with NULL fields + populated _corrupt_record."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    tmp = tempfile.mkdtemp(prefix="msdb_corrupt_json_")
+    path = os.path.join(tmp, "part-0.json")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(
+            '{"id": 1, "name": "ok-one"}\n'
+            '{"id": 2, "name": "ok-two"}\n'
+            '{"id": 3, "name": broken\n'
+            '{"id": 4, "name": "ok-three"}\n'
+            "not json at all\n"
+        )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+    )
+    return df.select(
+        "id",
+        "name",
+        F.col("_corrupt_record").isNotNull().alias("quarantined"),
+    ).orderBy("id", "quarantined")

@@ -216,3 +216,97 @@ def similarity_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(cosine), 4).alias("avg_cosine"),
         )
     )
+
+
+_IVF_K = 16       # coarse centroids
+_IVF_ITERS = 3    # Lloyd's iterations
+_IVF_NPROBE = 3   # cells probed per query
+
+
+@query("similarity_ivf_ann")  # rows-only: centroid training is engine-internal
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: k-means coarse quantizer
+    (Lloyd's iterations as DataFrame ops), inverted cell assignment,
+    nprobe-cell search with exact cosine re-rank.
+
+    Scale shape: centroids are tiny (k×dim) and always broadcast; the
+    corpus is touched once per Lloyd iteration (assignment = broadcast
+    join + argmin window; update = posexplode to (cell, dim_pos) →
+    partial avg → re-assemble array) and once at search time, where each
+    query scans only its nprobe cells instead of the full corpus. At
+    100 TB the assignment table is the persisted index; training and
+    search are separate jobs sharing it.
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    # deterministic init: first k vectors are the seed centroids
+    centroids = (
+        emb.where(F.col("vec_id") < _IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+
+    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        """nearest centroid per vector (broadcast join + argmin window)"""
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            vectors.crossJoin(F.broadcast(cents))
+            .select("vec_id", "v", "cid", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    for _ in range(_IVF_ITERS):
+        assigned = assign(emb, centroids)
+        # element-wise mean per cell: posexplode -> avg per (cid, pos) ->
+        # re-assemble ordered array
+        centroids = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cid", F.transform("pm", lambda s: s.m).alias("cv"))
+        )
+    index = assign(emb, centroids).select("vec_id", "v", "cid")
+
+    queries_df = (
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    )
+    # nprobe nearest cells per query
+    qd2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    wq = Window.partitionBy("q_id").orderBy("qd2", "cid")
+    probes = (
+        queries_df.crossJoin(F.broadcast(centroids))
+        .select("q_id", "qv", "cid", qd2.alias("qd2"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= _IVF_NPROBE)
+        .select("q_id", "qv", "cid")
+    )
+    # search only the probed cells
+    cand = probes.join(index, "cid").where(F.col("q_id") != F.col("vec_id"))
+    cosine = _dot(F.col("qv"), F.col("v")) / (
+        _norm(F.col("qv")) * _norm(F.col("v"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        cand.select("q_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(wk).cast("long"))
+        .where(F.col("rk") <= _TOP_K)
+        .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rk")
+    )

@@ -1,0 +1,30 @@
+"""ANN quality checks: the approximate searchers must actually find most
+of the true neighbors (recall vs the exact brute-force top-k), not just
+return k rows."""
+
+from __future__ import annotations
+
+from muurschilderingendatabase_etl_spark.queries.similarity import (
+    similarity_ivf_ann,
+    similarity_topk_bruteforce,
+)
+from tests.conftest import SF_DIR
+
+
+def _topk_sets(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["q_id"], set()).add(r["vec_id"])
+    return out
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    exact = _topk_sets(similarity_topk_bruteforce(spark, SF_DIR))
+    approx = _topk_sets(similarity_ivf_ann(spark, SF_DIR))
+    assert set(exact) == set(approx)  # same query set, k rows each
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    # 16 cells / nprobe 3 over 10-cluster synthetic data: most true
+    # neighbors share the query's cell family.
+    assert recall >= 0.5, f"IVF recall@k collapsed: {recall:.2f}"
