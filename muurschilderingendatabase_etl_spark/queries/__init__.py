@@ -6,6 +6,7 @@ from muurschilderingendatabase_etl_spark.queries import (  # noqa: F401
     array_json,
     dedup,
     flagship,
+    functions_extra,
     joins,
     multimodal,
     projection,
