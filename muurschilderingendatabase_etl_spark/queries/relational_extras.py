@@ -134,16 +134,19 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-ulp interpolation difference into a whole cent."""
     li = t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0)
-    return li.groupBy("l_returnflag").agg(
-        *[
-            F.round(F.percentile(cents, F.lit(q)) / 100, 4).alias(name)
-            for q, name in [
-                (0.25, "p25"),
-                (0.5, "p50"),
-                (0.75, "p75"),
-                (0.875, "p875"),
-            ]
-        ]
+    # One percentile() call with an array of quantiles = ONE sorted value
+    # buffer per group instead of four.
+    qarr = F.percentile(cents, F.array(*[F.lit(q) for q in (0.25, 0.5, 0.75, 0.875)]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qarr.alias("qs"))
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.col("qs").getItem(i) / 100, 4).alias(name)
+                for i, name in enumerate(["p25", "p50", "p75", "p875"])
+            ],
+        )
     )
 
 
