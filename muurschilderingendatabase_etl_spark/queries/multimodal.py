@@ -109,11 +109,25 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
-@query("multimodal_frame_sample")  # rows-only: stubbed sampler
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(f * 64 AS INT) AS byte_offset
+    FROM (
+      SELECT doc_id,
+             unnest(generate_series(
+               0,
+               CAST(FLOOR(LEAST(octet_length(CAST(text AS BLOB)) / 64.0, 8)) AS INT)
+             )) AS f
+      FROM documents WHERE doc_id < 100
+    )
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: one row per
     sampled frame offset (explode), deterministic offsets from payload
-    size. STUB decode, real partition/row-explosion shape."""
+    size — offset arithmetic is engine-independent, hence oracle-checked
+    (only the decode itself is stubbed in this container)."""
     media = _media_table(spark, sf_dir)
     n_frames = F.least(F.col("meta.size_bytes") / 64, F.lit(8)).cast("int")
     return (
