@@ -146,13 +146,18 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
     """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Anti-join: the intended semantics of the reference's dead customvocab
     # filter (export_from_omeka_s.py:60-65, SURVEY O4).
-    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return (
         t(spark, sf_dir, "customer")
         .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")

@@ -70,14 +70,15 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "setop_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity > 45
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT l_partkey FROM lineitem WHERE l_quantity < 5
     """,
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cn = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    sn = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    li = t(spark, sf_dir, "lineitem")
+    cn = li.where(F.col("l_quantity") > 45).select(F.col("l_partkey").alias("partkey"))
+    sn = li.where(F.col("l_quantity") < 5).select(F.col("l_partkey").alias("partkey"))
     # subtract == EXCEPT DISTINCT (set semantics); exceptAll would keep
     # multiplicity remainders.
     return cn.subtract(sn)
