@@ -200,3 +200,29 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sample(fraction=0.1, seed=42)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "project_explode_outer",
+    oracle="""
+    SELECT d.doc_id, u.long_word
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 12) AS lw
+      FROM documents WHERE doc_id < 50
+    ) d
+    LEFT JOIN LATERAL (SELECT unnest(d.lw) AS long_word) u ON true
+    """,
+)
+def project_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with an empty array survive with NULL — the
+    left-join-lateral semantics explode() would silently drop."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda x: F.length(x) > 12).alias("lw"),
+        )
+    )
+    return docs.select("doc_id", F.explode_outer("lw").alias("long_word"))

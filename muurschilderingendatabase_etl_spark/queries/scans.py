@@ -137,3 +137,60 @@ def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name",
         F.col("_corrupt_record").isNotNull().alias("quarantined"),
     ).orderBy("id", "quarantined")
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read round-trip (Spark's second columnar format);
+    aggregation over the re-read copy must match the original."""
+    tmp = tempfile.mkdtemp(prefix="msdb_orc_")
+    t(spark, sf_dir, "orders").write.mode("overwrite").orc(tmp)
+    return (
+        spark.read.orc(tmp)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "sink_partitioned_pruning",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1997
+    GROUP BY order_year, o_orderstatus
+    """,
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write (partitionBy=order_year) + re-read
+    with a partition predicate: the year filter becomes a PartitionFilter
+    — directories for other years are never opened. THE layout lever at
+    100 TB: time-partitioned facts make every time-bounded query touch
+    only its slice."""
+    tmp = tempfile.mkdtemp(prefix="msdb_part_")
+    (
+        t(spark, sf_dir, "orders")
+        .withColumn("order_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(tmp)
+    )
+    return (
+        spark.read.parquet(tmp)
+        .where(F.col("order_year") == 1997)
+        .groupBy(F.col("order_year").cast("int").alias("order_year"), "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

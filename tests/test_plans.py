@@ -85,3 +85,12 @@ def test_minhash_band_join_sheds_shingles(spark):
     # Minhashing itself stays JVM-side (no Python UDF node anywhere).
     assert "xxhash64" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    # The year predicate must become a PartitionFilter on the re-read of
+    # the partitioned layout (other years' directories never opened) —
+    # not a post-scan data filter.
+    p = _plan(spark, "sink_partitioned_pruning")
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf and any("order_year" in l for l in pf)
