@@ -289,3 +289,93 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Update mode re-emits a user's row each batch it appears in; the
     # single-batch availableNow replay emits exactly one row per user.
     return run_to_memory(out, "update")
+
+
+@query(
+    "stream_late_data_drop",
+    oracle="""
+    WITH params AS (SELECT max(ts) - INTERVAL 2 DAY AS tsplit FROM events),
+    tagged AS (
+      SELECT ts,
+             CASE WHEN ts <= (SELECT tsplit FROM params)
+                       AND event_id % 50 != 0
+                  THEN 1 ELSE 2 END AS f
+      FROM events
+    ),
+    w1 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM tagged WHERE f = 1),
+    w2 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM tagged),
+    counted AS (
+      SELECT date_trunc('hour', ts) AS ws,
+             count(*) FILTER (
+               f = 1
+               OR date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM w1)
+             ) AS n
+      FROM tagged
+      GROUP BY 1
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(n AS BIGINT) AS n_events
+    FROM counted
+    WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM w2) AND n > 0
+    """,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE late-data drop via the incremental-batch-job pattern: two
+    availableNow runs sharing one checkpoint. Run 1 processes the bulk
+    file and persists its watermark (max bulk ts - 1h); the stragglers
+    file then lands in the source dir and run 2 resumes from the
+    checkpoint — its genuinely-late rows (window end <= persisted
+    watermark) are dropped, stragglers in still-open windows aggregate,
+    and run 2's final watermark closes the remaining windows. (A single
+    availableNow run can NOT drop anything: it plans every file's offsets
+    up front under the initial watermark.) The combined append output of
+    both runs is deterministic, and the oracle reproduces the drop rule
+    exactly in SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from muurschilderingendatabase_etl_spark.streaming.replay import (
+        stage_events_two_phase,
+    )
+
+    srcdir, parked = stage_events_two_phase(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="msdb_late_")
+    ckpt = os.path.join(work, "ckpt")
+    outdir = os.path.join(work, "out")
+
+    def run_once() -> None:
+        # parquet sink (not memory): the file sink supports resuming from
+        # the shared checkpoint, which is the whole point here.
+        schema = spark.read.parquet(f"{srcdir}/a_bulk.parquet").schema
+        ev = (
+            spark.readStream.schema(schema).parquet(srcdir)
+        ).withWatermark("ts", "1 hour")
+        win = (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "n_events",
+            )
+        )
+        q = (
+            win.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # bulk only; persists watermark = max(bulk ts) - 1h
+    shutil.copy(parked, f"{srcdir}/b_stragglers.parquet")
+    try:
+        run_once()  # resumes: late stragglers dropped against it
+    finally:
+        # leave the source dir bulk-only for repeat in-session invocations
+        os.remove(f"{srcdir}/b_stragglers.parquet")
+    return spark.read.parquet(outdir)

@@ -54,3 +54,52 @@ def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame
     query.awaitTermination()
     spark = result.sparkSession
     return spark.table(name)
+
+
+_STAGED2: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def stage_events_two_phase(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage events as a bulk file (in the stream source dir) plus a
+    stragglers file (parked OUTSIDE it, to be dropped in between two
+    availableNow runs):
+
+    - bulk: events with ts <= max(ts) - 2 days, except a deterministic
+      sample (event_id % 50 == 0) withheld;
+    - stragglers: the withheld OLD rows (genuinely late once the first
+      run's watermark is persisted) plus the final 2 days.
+
+    Returns (source_dir, parked_stragglers_path).
+    """
+    import os
+
+    from muurschilderingendatabase_etl_spark.tables import t
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STAGED2:
+        staged = tempfile.mkdtemp(prefix="msdb_events_2phase_")
+        srcdir = os.path.join(staged, "source")
+        os.makedirs(srcdir)
+        ev = t(spark, sf_dir, "events")
+        split = ev.selectExpr(
+            "max(ts) - INTERVAL 2 DAYS AS tsplit"
+        ).collect()[0]["tsplit"]
+        bulk = ev.where(
+            (F.col("ts") <= F.lit(split)) & (F.col("event_id") % 50 != 0)
+        )
+        stragglers = ev.where(
+            (F.col("ts") > F.lit(split)) | (F.col("event_id") % 50 == 0)
+        )
+        bulk.coalesce(1).write.mode("overwrite").parquet(staged + "/stage_a")
+        stragglers.coalesce(1).write.mode("overwrite").parquet(staged + "/stage_b")
+        part_a = next(
+            p for p in os.listdir(f"{staged}/stage_a") if p.endswith(".parquet")
+        )
+        part_b = next(
+            p for p in os.listdir(f"{staged}/stage_b") if p.endswith(".parquet")
+        )
+        os.rename(f"{staged}/stage_a/{part_a}", f"{srcdir}/a_bulk.parquet")
+        parked = f"{staged}/b_stragglers.parquet"
+        os.rename(f"{staged}/stage_b/{part_b}", parked)
+        _STAGED2[key] = (srcdir, parked)
+    return _STAGED2[key]
