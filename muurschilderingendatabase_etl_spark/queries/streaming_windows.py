@@ -379,3 +379,94 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # leave the source dir bulk-only for repeat in-session invocations
         os.remove(f"{srcdir}/b_stragglers.parquet")
     return spark.read.parquet(outdir)
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT s.user_id,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           ROUND(p.value, 2) AS purchase_value
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    purchases within 1h after a signup by the same user. Both sides carry
+    watermarks so the join state is bounded (each side's rows can be
+    evicted once the other side's watermark passes the range bound) —
+    the 100-TB requirement for any stream-stream join."""
+    signups = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("s_user").alias("user_id"),
+        F.date_format("s_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("signup_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.round("p_value", 2).alias("purchase_value"),
+    )
+    return run_to_memory(joined, "append")
+
+
+@query(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands as parquet via arbitrary
+    batch-DataFrame logic — the escape hatch for sinks Spark lacks
+    (JDBC upsert, multi-table writes). Result = re-read of everything
+    written, aggregated."""
+    import tempfile
+
+    outdir = tempfile.mkdtemp(prefix="msdb_feb_out_")
+    ev = read_events_stream(spark, sf_dir).select("event_type", "value")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(outdir)
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="msdb_feb_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(outdir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
