@@ -195,3 +195,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_TFIDF_ORACLE = """
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 200
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tokens WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln((1.0 + (SELECT n_docs FROM n)) / (1.0 + df.df)) , 6)
+               AS tfidf
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS rk FROM scored
+    )
+    WHERE rk <= 3
+"""
+
+
+@query("text_tfidf_topterms", oracle=_TFIDF_ORACLE)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (idf = ln((1+N)/(1+df)), the
+    smoothed convention).
+
+    Scale shape: term frequencies shuffle on (doc_id, term); document
+    frequencies are a second aggregation over the (already small) tf
+    table; the idf join broadcasts when the vocabulary fits, else it's a
+    plain shuffle join on term. Top-k per doc is a window over the scored
+    rows — never a global sort."""
+    tokens = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df"))), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )

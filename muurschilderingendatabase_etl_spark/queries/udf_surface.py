@@ -156,3 +156,56 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL msdb_sentence_split(d.text) s
         """
     )
+
+
+@query(
+    "udf_cogroup_apply_in_pandas",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 2) AS event_value
+      FROM events GROUP BY user_id
+    ),
+    o AS (
+      SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_custkey <= 150 GROUP BY o_custkey
+    )
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(e.event_value, 0.0) AS event_value,
+           COALESCE(o.n_orders, 0) AS n_orders
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+)
+def udf_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas: both tables shuffle on the key, each key's
+    two pandas frames arrive in one Python call — the arbitrary two-sided
+    per-key merge (full-outer semantics included) that a plain join can't
+    express when the merge logic is imperative."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 150)
+        .select(F.col("o_custkey").alias("user_id"))
+    )
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(left)],
+                "event_value": [round(float(left["value"].sum()), 2) if len(left) else 0.0],
+                "n_orders": [len(right)],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id long, n_events long, event_value double, n_orders long",
+        )
+    )
