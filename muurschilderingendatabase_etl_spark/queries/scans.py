@@ -194,3 +194,55 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("order_year").cast("int").alias("order_year"), "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "sink_managed_table_roundtrip",
+    oracle="""
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(CASE WHEN is_extra THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
+    FROM (
+      SELECT n_regionkey, FALSE AS is_extra FROM nation
+      UNION ALL
+      SELECT r_regionkey AS n_regionkey, TRUE AS is_extra FROM region
+    )
+    GROUP BY n_regionkey
+    """,
+)
+def sink_managed_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog surface: saveAsTable into the managed warehouse, extend it
+    with SQL INSERT INTO, read back through the catalog — the DDL/DML
+    path alongside the file-path reads used elsewhere."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS msdb_nations_rt")
+    # The managed location outlives the in-memory catalog across
+    # sessions; clear any stale directory or saveAsTable refuses with
+    # LOCATION_ALREADY_EXISTS.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/msdb_nations_rt", ignore_errors=True)
+    (
+        t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey", F.lit(False).alias("is_extra"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable("msdb_nations_rt")
+    )
+    t(spark, sf_dir, "region").createOrReplaceTempView("msdb_region_src")
+    spark.sql(
+        """
+        INSERT INTO msdb_nations_rt
+        SELECT r_regionkey + 1000 AS n_nationkey,
+               r_regionkey AS n_regionkey,
+               TRUE AS is_extra
+        FROM msdb_region_src
+        """
+    )
+    return spark.sql(
+        """
+        SELECT n_regionkey, COUNT(*) AS n_nations,
+               SUM(CASE WHEN is_extra THEN 1 ELSE 0 END) AS n_extra
+        FROM msdb_nations_rt
+        GROUP BY n_regionkey
+        """
+    )

@@ -209,3 +209,48 @@ def udf_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id long, n_events long, event_value double, n_orders long",
         )
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(length(o_orderpriority) AS INT) AS prio_len,
+           ROUND(o_totalprice * 2, 2) AS uplifted
+    FROM orders
+    WHERE o_orderkey < 400
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python exchange — raw pyarrow
+    RecordBatches in and out, no pandas conversion at all. Right level
+    for columnar-native Python libs (tokenizers, pyarrow.compute)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def uplift(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("o_orderkey"),
+                    pc.cast(
+                        pc.utf8_length(batch.column("o_orderpriority")), pa.int32()
+                    ),
+                    # x2 keeps the value at 2 decimals: a x1.1 uplift would
+                    # create third-decimal half-way cases where pyarrow
+                    # (half-to-even) and the oracle (half-away) disagree.
+                    pc.round(
+                        pc.multiply(batch.column("o_totalprice"), 2), ndigits=2
+                    ),
+                ],
+                names=["o_orderkey", "prio_len", "uplifted"],
+            )
+
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 400)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .mapInArrow(
+            uplift, schema="o_orderkey long, prio_len int, uplifted double"
+        )
+    )
