@@ -489,3 +489,63 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+@query(
+    "pipeline_training_data_prep",
+    oracle="""
+    WITH deduped AS (
+      SELECT * FROM (
+        SELECT doc_id, source, lang, text,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    gated AS (
+      SELECT source, lang,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the','a','and','of','to'))) AS n_stop
+      FROM deduped
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens
+    FROM gated
+    WHERE n_words BETWEEN 20 AND 1000
+      AND CAST(n_stop AS DOUBLE) / n_words < 0.5
+    GROUP BY source, lang
+    """,
+)
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data pipeline, end to end in ONE lazy plan:
+    exact dedup (keep first by content hash) → quality gate (length +
+    stopword ratio) → per-(source, lang) document and token budget.
+    Catalyst fuses the whole chain: one shuffle for the dedup window,
+    one for the final aggregation; the text column never survives past
+    the projection that derives its features."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    words = F.split("text", " ")
+    stop_hits = F.size(
+        F.filter(words, lambda x: x.isin(["the", "a", "and", "of", "to"]))
+    )
+    gated = deduped.select(
+        "source",
+        "lang",
+        F.size(words).alias("n_words"),
+        stop_hits.alias("n_stop"),
+    ).where(
+        F.col("n_words").between(20, 1000)
+        & (F.col("n_stop").cast("double") / F.col("n_words") < 0.5)
+    )
+    return gated.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+    )

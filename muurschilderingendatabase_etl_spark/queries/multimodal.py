@@ -143,3 +143,59 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@query(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             (length(text) % 64) + 1        AS in_w,
+             (length(text) % 48) + 1        AS in_h
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST(in_w AS INT) AS in_w, CAST(in_h AS INT) AS in_h,
+           CAST(FLOOR(32.0 * in_w / greatest(in_w, in_h)) AS INT) AS out_w,
+           CAST(FLOOR(32.0 * in_h / greatest(in_w, in_h)) AS INT) AS out_h
+    FROM dims
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: aspect-preserving fit into a 32x32 box computed
+    in an Arrow-batched mapInPandas pass over the binary column. The
+    DECODE is stubbed (source dimensions derived deterministically from
+    payload size — no image libs in this container); the resize
+    arithmetic, batch shape, and schema contract are the real thing, so
+    the geometry is oracle-checked."""
+    import math
+
+    import pandas as pd
+
+    media = _media_table(spark, sf_dir).where(F.col("doc_id") < 200).select(
+        "doc_id", "content"
+    )
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            # --- STUB decode: real code would read the image header ---
+            sizes = pdf["content"].map(len)
+            in_w = (sizes % 64 + 1).astype("int32")
+            in_h = (sizes % 48 + 1).astype("int32")
+            maxwh = pd.concat([in_w, in_h], axis=1).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "in_w": in_w,
+                    "in_h": in_h,
+                    # floor of (32*w)/m with the SAME operation order as
+                    # the oracle SQL: both engines then divide identical
+                    # doubles and floor identical results (round() would
+                    # differ on exact halves, w*(32/m) by 1 ulp).
+                    "out_w": ((32.0 * in_w) / maxwh).apply(math.floor).astype("int32"),
+                    "out_h": ((32.0 * in_h) / maxwh).apply(math.floor).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        resize, schema="doc_id long, in_w int, in_h int, out_w int, out_h int"
+    )
