@@ -246,3 +246,36 @@ def sink_managed_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_regionkey
         """
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write + read round-trip (Spark 4 native XML source) with an
+    explicit schema on the read-back — the config/feed interchange format
+    the reference world (Omeka/RDF tooling) still speaks."""
+    tmp = tempfile.mkdtemp(prefix="msdb_xml_")
+    (
+        t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .xml(tmp)
+    )
+    back = (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey int")
+        .option("rowTag", "nation")
+        .xml(tmp)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("names"),
+    )
