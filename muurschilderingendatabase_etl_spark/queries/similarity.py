@@ -237,8 +237,13 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the assignment table is the persisted index; training and
     search are separate jobs sharing it.
     """
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
+    # cache(): every Lloyd iteration re-uses the cast vectors; without it
+    # each of the ~5 jobs re-scans the parquet and re-casts the arrays —
+    # the canonical iterative-algorithm pattern (same as ml.clustering).
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .cache()
     )
     # deterministic init: first k vectors are the seed centroids
     centroids = (
