@@ -94,3 +94,30 @@ def test_partitioned_write_prunes_partitions(spark):
     p = _plan(spark, "sink_partitioned_pruning")
     pf = [l for l in p.splitlines() if "PartitionFilters" in l]
     assert pf and any("order_year" in l for l in pf)
+
+
+def test_observe_metrics(spark):
+    # df.observe(): named metrics ride along the job without a second
+    # pass over the data — the engine's cheap row-count/invariant probe
+    # (the reference logged len(graph) between every stage; this is the
+    # Spark-native equivalent, SURVEY O16).
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from muurschilderingendatabase_etl_spark.tables import t
+
+    obs = Observation("lineitem_probe")
+    df = (
+        t(spark, SF_DIR, "lineitem")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("x")).alias("revenue"),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_flag = {r["l_returnflag"]: r["n"] for r in df.collect()}
+    metrics = obs.get
+    assert metrics["n_rows"] == sum(per_flag.values())
+    assert metrics["revenue"] > 0
