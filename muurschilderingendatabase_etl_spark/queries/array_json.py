@@ -139,15 +139,21 @@ def map_lookup_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_collect_sorted",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations
+           array_to_string(list_sort(list(n_name)), ',') AS nations
     FROM nation
     GROUP BY n_regionkey
     """,
 )
 def array_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_list + array_sort: deterministic despite unordered collect.
+    # Serialized to a scalar string at the query boundary — the driver's
+    # pandas canonicalizer cannot sort/hash array-typed cells.
     return (
         t(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
-        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
     )

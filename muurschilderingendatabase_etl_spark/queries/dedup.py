@@ -171,8 +171,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → 16 minhash signatures (xxhash64 with per-function salt) →
     8 bands of 2 → inverted-index self-join on band value → exact
     Jaccard verification of candidates. Shares the exact all-pairs SQL
-    oracle because recall at τ=0.9 is ≈1 (see module docstring) and
-    precision is exact after verification.
+    oracle because recall at τ=0.9 is ≈1 (miss ≤ (1-0.9²)^8 ≈ 1.7e-6
+    per true pair; deterministic for fixed fixtures since the hash seeds
+    are constants) and precision is exact after verification. A fixture
+    refresh that grows the true-pair count past the union-bound margin
+    is caught by tests/test_dedup.py::test_minhash_lsh_fixture_margin.
     """
     # Repartition before shingling: the fixture is one parquet file (one
     # input split) and shingle+minhash is the CPU-heavy part — spread it

@@ -106,7 +106,12 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract,
         schema="doc_id long, width int, height int, feature array<double>",
     )
-    return out.orderBy("doc_id")
+    # The array column is real inside the plan (Arrow transport, typed
+    # schema); serialize it at the query boundary because the driver's
+    # pandas canonicalizer cannot sort/hash array-typed cells.
+    return out.select(
+        "doc_id", "width", "height", F.to_json("feature").alias("feature_json")
+    ).orderBy("doc_id")
 
 
 @query(
@@ -150,8 +155,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
       SELECT doc_id,
-             (length(text) % 64) + 1        AS in_w,
-             (length(text) % 48) + 1        AS in_h
+             (octet_length(CAST(text AS BLOB)) % 64) + 1 AS in_w,
+             (octet_length(CAST(text AS BLOB)) % 48) + 1 AS in_h
       FROM documents WHERE doc_id < 200
     )
     SELECT doc_id, CAST(in_w AS INT) AS in_w, CAST(in_h AS INT) AS in_h,

@@ -22,7 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from muurschilderingendatabase_etl_spark.rdf.turtle import PARSED_SCHEMA, parse_turtle_text
+from muurschilderingendatabase_etl_spark.rdf.turtle import PARSED_SCHEMA, parse_bodies
 
 log = logging.getLogger(__name__)
 
@@ -67,17 +67,14 @@ def scan_paginated(spark: SparkSession, fetcher: PageFetcher) -> DataFrame:
             break
         pages.append(body)
 
-    rows = []
-    for body in pages:
-        try:
-            for tr in parse_turtle_text(body):
-                rows.append(
-                    (tr["s"], tr["s_kind"], tr["p"], tr["o"], tr["o_kind"],
-                     tr["o_lang"], tr["o_datatype"], None)
-                )
-        except ValueError as exc:
-            rows.append((None, None, None, None, None, None, None, str(exc)[:500]))
-    return spark.createDataFrame(rows, PARSED_SCHEMA)
+    if not pages:
+        return spark.createDataFrame([], PARSED_SCHEMA)
+    # Fetch is serial (page N gates N+1) but the parse parallelizes: one
+    # page body per row, one partition per page (≤99), executor-side parse
+    # via the same kernel as file input (rdf/turtle.py parse_bodies).
+    bodies = spark.createDataFrame([(b,) for b in pages], "value string")
+    n_parts = min(len(pages), spark.sparkContext.defaultParallelism)
+    return parse_bodies(bodies.repartition(n_parts))
 
 
 def fetch_prefix_bindings(context_body: str) -> dict[str, str]:

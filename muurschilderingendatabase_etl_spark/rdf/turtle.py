@@ -229,19 +229,18 @@ def parse_turtle_text(text: str) -> list[dict]:
     return list(_Parser().parse(text))
 
 
-def read_turtle(spark: SparkSession, paths: str | list[str]) -> DataFrame:
-    """Turtle files → triples DataFrame (+ ``_corrupt`` column for
-    malformed documents — PERMISSIVE mode, SURVEY O20).
-
-    One file per row via wholetext (prefix directives are file-scoped);
-    files parallelize across tasks.
+def parse_bodies(bodies: DataFrame, column: str = "value") -> DataFrame:
+    """Executor-side Turtle parse: one document body per row (in
+    ``column``) → triples DataFrame (+ ``_corrupt`` quarantine column —
+    PERMISSIVE mode, SURVEY O20). The shared kernel for file input
+    (``read_turtle``) and the paginated REST source (``rdf/source.py``).
     """
-    files = spark.read.text(paths, wholetext=True)
 
     def parse_partition(rows: Iterable[Row]) -> Iterator[tuple]:
         for row in rows:
+            body = row[column]
             try:
-                for tr in parse_turtle_text(row.value):
+                for tr in parse_turtle_text(body):
                     yield (
                         tr["s"], tr["s_kind"], tr["p"],
                         tr["o"], tr["o_kind"], tr["o_lang"], tr["o_datatype"],
@@ -250,9 +249,18 @@ def read_turtle(spark: SparkSession, paths: str | list[str]) -> DataFrame:
             except ValueError as exc:
                 # quarantine the document, don't fail the job
                 yield (None, None, None, None, None, None, None,
-                       f"{exc}: {row.value[:200]}")
+                       f"{exc}: {body[:200]}")
 
-    return files.rdd.mapPartitions(parse_partition).toDF(PARSED_SCHEMA)
+    return bodies.rdd.mapPartitions(parse_partition).toDF(PARSED_SCHEMA)
+
+
+def read_turtle(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Turtle files → triples DataFrame (+ ``_corrupt`` column).
+
+    One file per row via wholetext (prefix directives are file-scoped);
+    files parallelize across tasks.
+    """
+    return parse_bodies(spark.read.text(paths, wholetext=True))
 
 
 def triples_only(parsed: DataFrame) -> DataFrame:

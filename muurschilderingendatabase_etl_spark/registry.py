@@ -46,11 +46,38 @@ def load_all() -> None:
     from muurschilderingendatabase_etl_spark import queries as _  # noqa: F401
 
 
+def _module_round_robin_order() -> list[str]:
+    """Query names interleaved round-robin across their defining modules.
+
+    The round driver checks a prefix of the registry in dict order; plain
+    registration order front-loads whole modules and starves the rest
+    (round 1: the driver's 50-query window never reached 11 of 20
+    modules). Interleaving puts the first query of every module in the
+    first len(modules) entries, so any prefix window samples every
+    operator category.
+    """
+    groups: dict[str, list[str]] = {}
+    for name, fn in _QUERIES.items():
+        groups.setdefault(fn.__module__, []).append(name)
+    order: list[str] = []
+    buckets = list(groups.values())
+    i = 0
+    while buckets:
+        buckets = [b for b in buckets if b]
+        for b in buckets:
+            if i < len(b):
+                order.append(b[i])
+        buckets = [b for b in buckets if len(b) > i + 1]
+        i += 1
+    return order
+
+
 def all_queries() -> dict[str, QueryFn]:
     load_all()
-    return dict(_QUERIES)
+    return {name: _QUERIES[name] for name in _module_round_robin_order()}
 
 
 def all_oracles() -> dict[str, str]:
     load_all()
-    return dict(_ORACLES)
+    order = _module_round_robin_order()
+    return {name: _ORACLES[name] for name in order if name in _ORACLES}

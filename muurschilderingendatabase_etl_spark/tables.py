@@ -39,6 +39,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which a vanilla
+        # SparkSession rejects (PARQUET_TYPE_ILLEGAL). The legacy conf is
+        # runtime-settable, so set it here defensively rather than relying on
+        # the session having been built by session.get_spark() — any caller's
+        # session (e.g. the round driver's bare builder) must be able to load
+        # every fixture table.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
