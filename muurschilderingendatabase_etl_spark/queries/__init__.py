@@ -10,6 +10,7 @@ from muurschilderingendatabase_etl_spark.queries import (  # noqa: F401
     joins,
     multimodal,
     projection,
+    quality,
     rdf_graph,
     relational_extras,
     scalar_fns,
@@ -19,6 +20,7 @@ from muurschilderingendatabase_etl_spark.queries import (  # noqa: F401
     sort_limit,
     sql_api,
     streaming_windows,
+    subqueries,
     textanalysis,
     udf_surface,
     windows,

@@ -121,3 +121,37 @@ def test_observe_metrics(spark):
     metrics = obs.get
     assert metrics["n_rows"] == sum(per_flag.values())
     assert metrics["revenue"] > 0
+
+
+def test_scalar_subquery_broadcasts(spark):
+    # The decorrelated 1-row aggregate joins as a broadcast — the scalar
+    # never forces a shuffle of the fact side (subqueries.py stance).
+    p = _plan(spark, "subq_scalar_uncorrelated")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_exists_decorrelates_to_semi(spark):
+    # Correlated EXISTS (Q4 shape) must be a single LeftSemi join with the
+    # range correlate evaluated join-side — no row explosion, no second agg.
+    p = _plan(spark, "subq_exists_correlated")
+    assert "LeftSemi" in p
+    # The date window on orders reaches the parquet scan.
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_not_exists_decorrelates_to_anti(spark):
+    p = _plan(spark, "subq_not_exists_anti")
+    assert "LeftAnti" in p
+
+
+def test_contamination_join_carries_digests_only(spark):
+    # The contamination equi-join exchanges must carry the md5 digest and
+    # ids, never the text or the words array (dedup.py discipline applied
+    # to the contamination scan).
+    p = _plan(spark, "contamination_ngram_overlap")
+    exchanges = [l for l in p.splitlines() if "Exchange" in l]
+    assert exchanges
+    assert all("text#" not in l and "w#" not in l for l in exchanges)
+    # Shingling stays JVM-side.
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
