@@ -118,6 +118,30 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_hll_sketch_mergeable")  # rows-only: sketch estimates are engine-specific
+def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL: per-segment sketches built in one pass over
+    customer, then MERGED (hll_union_agg) into the global estimate
+    without rescanning the data — the 100 TB pattern for distinct
+    counts: build sketches per partition/day at ingest, answer any
+    rollup later by merging kilobyte sketches instead of re-reading
+    terabytes. Estimate accuracy is regression-tested against the exact
+    count in tests/test_plans.py."""
+    seg_sketches = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.hll_sketch_agg("c_custkey", 14).alias("sk"))
+    )
+    per_segment = seg_sketches.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    merged = seg_sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers")
+    ).select(F.lit("ALL").alias("segment"), "approx_customers")
+    return per_segment.unionByName(merged).orderBy("segment")
+
+
 @query(
     "agg_rollup",
     oracle="""

@@ -42,6 +42,39 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k
+    FROM events
+    WHERE event_id < 5000
+    GROUP BY event_type
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path: parse_json once into the binary-encoded
+    VARIANT type, then typed variant_get access — unlike string-walking
+    get_json_object, repeated field reads don't re-parse the JSON text.
+    The shredded-variant encoding is the semi-structured scale story
+    (columnarized JSON fields with pushdown in Parquet readers)."""
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 5000)
+        .withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+        )
+    )
+
+
+@query(
     "array_explode_tokens",
     oracle="""
     SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences

@@ -167,6 +167,30 @@ def rdf_rest_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples_only(parsed).select("s", "p", "o").orderBy("s", "p", "o")
 
 
+@query("rdf_rest_datasource_scan")  # rows-only: external-source op (SURVEY O1)
+def rdf_rest_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 as a Spark 4 Python DataSource (rdf/datasource.py): the same
+    3-page synthetic corpus as rdf_rest_source_scan, but fetched
+    partition-per-page ON THE EXECUTORS — the distributed redesign of
+    the reference's serial page loop. Parse goes through the shared
+    parse_bodies kernel, so both scan paths yield identical triples."""
+    from muurschilderingendatabase_etl_spark.rdf.datasource import (
+        OmekaRestDataSource,
+    )
+    from muurschilderingendatabase_etl_spark.rdf.turtle import parse_bodies
+
+    spark.dataSource.register(OmekaRestDataSource)
+    pages = (
+        spark.read.format("omeka_rest")
+        .option("mode", "stub")
+        .option("pages", 3)
+        .option("max_pages", 12)
+        .load()
+    )
+    parsed = parse_bodies(pages.select("value"))
+    return triples_only(parsed).select("s", "p", "o").orderBy("s", "p", "o")
+
+
 @query("rdf_enrichment_join")  # rows-only: external lookup join (SURVEY O12)
 def rdf_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O12 end-to-end (transform_datamodel.py:88-109) on the nation

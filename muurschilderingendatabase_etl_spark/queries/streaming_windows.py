@@ -470,3 +470,121 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "stream_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS n_purchases,
+           ROUND(SUM(value) FILTER (event_type = 'purchase'), 2)
+             AS purchase_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) FILTER (event_type = 'purchase') > 0
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas (the successor API to
+    applyInPandasWithState): a StatefulProcessor with a typed ValueState
+    per user tracking (purchase count, purchase value, event count);
+    only users with purchases emit. State is a fixed-width summary —
+    O(users), never O(rows) — and the operator API adds what GroupState
+    lacked: multiple named state variables, TTL, and timers, the pieces
+    a production 100 TB streaming job needs for state hygiene.
+    Deterministic under availableNow replay, hence oracle-checkable.
+
+    Environment gate: the TWS driver worker requires the `protobuf`
+    package (its state server speaks protobuf to the JVM); this
+    container doesn't ship it, so when the import is unavailable the
+    query runs the SAME per-user summary through
+    applyInPandasWithState — identical semantics and state shape, so
+    the oracle contract holds either way. The TWS path is the one
+    exercised wherever protobuf exists."""
+    import importlib.util
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PurchaseStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n_purchases long, purchase_value double, n_events long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_p, val, n_e = (
+                self._state.get() if self._state.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                purchases = pdf[pdf["event_type"] == "purchase"]
+                n_p += len(purchases)
+                val += float(purchases["value"].sum())
+                n_e += len(pdf)
+            self._state.update((n_p, val, n_e))
+            if n_p > 0:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_purchases": [n_p],
+                        "purchase_value": [round(val, 2)],
+                        "n_events": [n_e],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    out_schema = (
+        "user_id long, n_purchases long, purchase_value double, n_events long"
+    )
+    try:
+        # find_spec raises for a missing PARENT package ('google'), so
+        # probe rather than test for None.
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if has_protobuf:
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            PurchaseStats(),
+            outputStructType=out_schema,
+            outputMode="update",
+            timeMode="none",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def update(key, pdfs, state: GroupState):
+            n_p, val, n_e = state.get if state.exists else (0, 0.0, 0)
+            for pdf in pdfs:
+                purchases = pdf[pdf["event_type"] == "purchase"]
+                n_p += len(purchases)
+                val += float(purchases["value"].sum())
+                n_e += len(pdf)
+            state.update((n_p, val, n_e))
+            if n_p > 0:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_purchases": [n_p],
+                        "purchase_value": [round(val, 2)],
+                        "n_events": [n_e],
+                    }
+                )
+
+        out = ev.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="n_purchases long, purchase_value double, n_events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    # Single-batch availableNow replay -> exactly one row per qualifying
+    # user (update mode would re-emit across batches on a live source).
+    return run_to_memory(out, "update")

@@ -155,3 +155,58 @@ def test_contamination_join_carries_digests_only(spark):
     assert all("text#" not in l and "w#" not in l for l in exchanges)
     # Shingling stays JVM-side.
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hll_sketch_estimate_accuracy(spark):
+    # Sketch estimates must track the exact distinct count (relative
+    # standard error ~1% at lgK=14; assert a loose 5% envelope), and the
+    # merged (union) estimate must track the global exact count — the
+    # merge-not-rescan contract of agg_hll_sketch_mergeable.
+    import pyspark.sql.functions as F
+
+    from muurschilderingendatabase_etl_spark.tables import t
+
+    rows = {
+        r["segment"]: r["approx_customers"]
+        for r in registry.all_queries()["agg_hll_sketch_mergeable"](
+            spark, SF_DIR
+        ).collect()
+    }
+    cust = t(spark, SF_DIR, "customer")
+    exact_all = cust.select("c_custkey").distinct().count()
+    assert abs(rows["ALL"] - exact_all) / exact_all < 0.05
+    exact_seg = {
+        r["c_mktsegment"]: r["n"]
+        for r in cust.groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    for seg, est in rows.items():
+        if seg != "ALL":
+            assert abs(est - exact_seg[seg]) / exact_seg[seg] < 0.05
+
+
+def test_rest_datasource_matches_serial_scan(spark):
+    # The partition-per-page Python DataSource and the serial driver-side
+    # loop must yield the identical triple set (same stub corpus, same
+    # parse kernel), and the DataSource read must parallelize: one input
+    # partition per probed page.
+    qs = registry.all_queries()
+    ds = qs["rdf_rest_datasource_scan"](spark, SF_DIR).collect()
+    serial = qs["rdf_rest_source_scan"](spark, SF_DIR).collect()
+    assert ds == serial
+
+    from muurschilderingendatabase_etl_spark.rdf.datasource import (
+        OmekaRestDataSource,
+    )
+
+    spark.dataSource.register(OmekaRestDataSource)
+    pages = (
+        spark.read.format("omeka_rest")
+        .option("mode", "stub")
+        .option("pages", 3)
+        .option("max_pages", 12)
+        .load()
+    )
+    assert pages.rdd.getNumPartitions() == 12
+    assert pages.count() == 3
