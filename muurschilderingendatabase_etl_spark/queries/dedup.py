@@ -552,3 +552,64 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "pipeline_incremental_upsert",
+    oracle="""
+    WITH unioned AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      WHERE event_id % 3 != 0
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+             'corrected' AS event_type, value * 2 AS value
+      FROM events WHERE event_id % 5 = 0
+    ),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC, event_type
+      ) AS rk FROM unioned
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM latest WHERE rk = 1
+    GROUP BY event_type
+    """,
+)
+def pipeline_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot + delta upsert without a table format: union the base
+    snapshot with a correction delta, keep the latest version per key
+    (window row_number over ts DESC — the merge-on-read shape), then
+    aggregate the reconciled view. This is how a training-data corpus
+    takes corrections/redactions between full rebuilds.
+
+    Scale shape: ONE shuffle on the upsert key serves the window; the
+    delta is usually ≪ the snapshot, so at scale you'd partition both
+    by key-hash and let AQE coalesce — no global sort anywhere. A real
+    lakehouse deployment swaps this for Delta/Iceberg MERGE; the logical
+    semantics (latest-wins per key) are identical."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = ev.where(F.col("event_id") % 3 != 0)
+    delta = ev.where(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        F.lit("corrected").alias("event_type"),
+        (F.col("value") * 2).alias("value"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_id").orderBy(F.desc("ts"), "event_type")
+    return (
+        base.unionByName(delta)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -184,7 +184,7 @@ def rdf_rest_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("omeka_rest")
         .option("mode", "stub")
         .option("pages", 3)
-        .option("max_pages", 12)
+        .option("max_pages", 6)
         .load()
     )
     parsed = parse_bodies(pages.select("value"))

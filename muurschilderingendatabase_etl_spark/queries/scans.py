@@ -279,3 +279,46 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("names"),
     )
+
+
+@query(
+    "sink_sorted_data_skipping",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+      AND l_shipdate <  TIMESTAMP '1997-08-01'
+    """,
+)
+def sink_sorted_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered layout for row-group skipping: repartitionByRange +
+    sortWithinPartitions on l_shipdate before the write gives every
+    parquet row group a tight min/max shipdate envelope, so the re-read's
+    date predicate prunes row groups via footer stats alone — the
+    cheap sibling of Hive partitioning (no directory explosion, works
+    for high-cardinality sort keys; the same layout lever as Z-ordering
+    on a single dimension). At 100 TB: range-partition by date, sort
+    within, and time-bounded scans touch only their row groups."""
+    tmp = tempfile.mkdtemp(prefix="msdb_sorted_")
+    (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    return (
+        spark.read.parquet(tmp)
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-08-01").cast("timestamp"))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.min("l_orderkey").alias("min_key"),
+        )
+    )

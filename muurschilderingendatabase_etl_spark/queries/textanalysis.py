@@ -260,3 +260,67 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf", "rk")
     )
+
+
+_PERPLEXITY_ORACLE = """
+    WITH tokens AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tok AS (SELECT * FROM tokens WHERE term <> ''),
+    freq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok GROUP BY term
+    ),
+    n AS (SELECT SUM(cnt) AS total FROM freq),
+    scored AS (
+      SELECT t.doc_id, t.lang,
+             ln(f.cnt / (SELECT total FROM n)) AS logp
+      FROM tok t JOIN freq f USING (term)
+    )
+    SELECT lang,
+      ROUND(AVG(neg_avg_logp), 4) AS avg_surprisal,
+      ROUND(MIN(neg_avg_logp), 4) AS min_surprisal,
+      ROUND(MAX(neg_avg_logp), 4) AS max_surprisal
+    FROM (
+      SELECT doc_id, lang, ROUND(-AVG(logp), 6) AS neg_avg_logp
+      FROM scored GROUP BY doc_id, lang
+    )
+    GROUP BY lang
+"""
+
+
+@query("text_unigram_surprisal", oracle=_PERPLEXITY_ORACLE)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM surprisal (log-perplexity) per document, summarized
+    per language — the classic cheap perplexity filter: train unigram
+    probabilities on the corpus itself, score each document by its
+    negative mean token log-probability; outliers are gibberish or
+    boilerplate.
+
+    Scale shape: the model IS a DataFrame (term -> prob): one
+    explode+agg to build it, then the scoring join is on the term key —
+    broadcastable while the vocabulary fits, shuffle-join beyond; the
+    per-doc and per-lang rollups are plain partial-agg shuffles. No
+    driver-side model object, so vocabulary size is unbounded."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    scored = (
+        tok.join(freq, "term")
+        .join(F.broadcast(total))
+        .select("doc_id", "lang", F.log(F.col("cnt") / F.col("total")).alias("logp"))
+    )
+    # Round the per-doc score BEFORE the min/max rollup on both sides so
+    # double-summation-order noise can't flip a min/max pick.
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.round(-F.avg("logp"), 6).alias("neg_avg_logp")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.round(F.avg("neg_avg_logp"), 4).alias("avg_surprisal"),
+        F.round(F.min("neg_avg_logp"), 4).alias("min_surprisal"),
+        F.round(F.max("neg_avg_logp"), 4).alias("max_surprisal"),
+    )

@@ -266,3 +266,71 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).alias("n_similar_priced"),
         )
     )
+
+
+@query(
+    "window_sessionize_gaps",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_no
+      FROM marked
+    )
+    SELECT CAST(n_events AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM (
+      SELECT user_id, session_no, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_no
+    )
+    GROUP BY n_events
+    ORDER BY n_events
+    """,
+)
+def window_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap marking + running sum assigns
+    session ids without a session-window operator — the standard batch
+    twin of streaming session_window (streaming_windows.py). Output is
+    the session-size histogram.
+
+    Scale shape: ONE shuffle on user_id serves both window passes (same
+    partitioning, Catalyst reuses the sort), then two partial-agg
+    shuffles on shrinking data. Deterministic tie-break (ts, event_id)
+    keeps the lag reproducible."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn("session_no", F.sum("new_session").over(wrun))
+    per_session = sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_session.groupBy("n_events")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("n_events")
+    )

@@ -205,8 +205,97 @@ def test_rest_datasource_matches_serial_scan(spark):
         spark.read.format("omeka_rest")
         .option("mode", "stub")
         .option("pages", 3)
-        .option("max_pages", 12)
+        .option("max_pages", 6)
         .load()
     )
-    assert pages.rdd.getNumPartitions() == 12
+    assert pages.rdd.getNumPartitions() == 6
     assert pages.count() == 3
+
+
+def test_aqe_splits_skewed_join(spark):
+    # The engine's skew story: AQE's skew-join handling must kick in on a
+    # genuinely skewed shuffle join. Build a synthetic skew (one hot key
+    # holding ~90% of rows), join with per-key thresholds lowered so the
+    # tiny test data triggers the optimization, and assert the final
+    # adaptive plan marked the sort-merge join as skew-handled.
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        # Without this AQE skips skew-splitting when a downstream stage
+        # (e.g. an aggregation) wants the join's hash partitioning.
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(60000).select(
+            F.lit(7).alias("k"), F.col("id").alias("payload")
+        )
+        tail = spark.range(6000).select(
+            (F.col("id") % 97 + 100).alias("k"), F.col("id").alias("payload")
+        )
+        left = hot.unionAll(tail)
+        right = spark.range(200).select(
+            F.col("id").alias("k"), F.lit("dim").alias("name")
+        )
+        joined = left.join(right, "k")
+        joined.write.format("noop").mode("overwrite").save()
+        joined.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        p = buf.getvalue()
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p, "AQE did not mark the join skew-handled"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injection(spark):
+    # Runtime row-level filtering: a selective dim-side predicate should
+    # inject a bloom filter on the fact side's scan (InjectRuntimeFilter),
+    # cutting shuffle input before the join — a key lever when the fact
+    # side is 100 TB and the dim filter keeps 1%. Thresholds lowered so
+    # sf-scale data qualifies.
+    import pyspark.sql.functions as F
+
+    from muurschilderingendatabase_etl_spark.tables import t
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # broadcast would bypass
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = t(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = t(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.sum("l_quantity").alias("qty"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "BloomFilter" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
