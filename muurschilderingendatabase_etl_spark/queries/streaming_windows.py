@@ -588,3 +588,86 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single-batch availableNow replay -> exactly one row per qualifying
     # user (update mode would re-emit across batches on a live source).
     return run_to_memory(out, "update")
+
+
+@query(
+    "stream_stream_outer_join",
+    oracle="""
+    WITH m AS (
+      SELECT LEAST(
+        max(ts) FILTER (event_type = 'signup'),
+        max(ts) FILTER (event_type = 'purchase')
+      ) - INTERVAL 1 HOUR AS wm
+      FROM events
+    ),
+    matched AS (
+      SELECT s.user_id,
+             strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+             ROUND(p.value, 2) AS purchase_value
+      FROM events s JOIN events p
+        ON s.user_id = p.user_id
+       AND s.event_type = 'signup' AND p.event_type = 'purchase'
+       AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    ),
+    unmatched AS (
+      SELECT s.user_id,
+             strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+             CAST(NULL AS VARCHAR) AS purchase_ts,
+             CAST(NULL AS DOUBLE) AS purchase_value
+      FROM events s
+      WHERE s.event_type = 'signup'
+        AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+            AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        )
+        AND s.ts < (SELECT wm FROM m) - INTERVAL 1 HOUR
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: signups left-joined to
+    purchases within 1h. Outer (null) rows for a signup emit only when
+    the watermark proves no future purchase can match; under
+    availableNow the final no-data micro-batch advances the watermark
+    and flushes exactly that set, and the remainder stays in state —
+    bounded on both sides, identical to the inner variant.
+
+    Eviction rule the oracle reproduces (verified empirically at
+    sf0.001/sf0.01): Catalyst pushes each side's event_type filter BELOW
+    its EventTimeWatermark node, so the global watermark is
+    min(max signup ts, max purchase ts) - 1h (delay), and the left
+    side's state watermark subtracts the 1h join interval again —
+    null rows appear for unmatched signups with
+    s_ts < global_wm - 1h."""
+    signups = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("s_user").alias("user_id"),
+        F.date_format("s_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("signup_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.round("p_value", 2).alias("purchase_value"),
+    )
+    return run_to_memory(joined, "append")
