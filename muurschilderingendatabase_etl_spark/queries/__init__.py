@@ -21,6 +21,7 @@ from muurschilderingendatabase_etl_spark.queries import (  # noqa: F401
     sql_api,
     streaming_windows,
     subqueries,
+    timeseries,
     textanalysis,
     udf_surface,
     windows,

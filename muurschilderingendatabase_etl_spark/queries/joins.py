@@ -306,3 +306,51 @@ def join_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prior_view_event",
         )
     )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    WITH blocked AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer
+    )
+    SELECT CAST(lev AS BIGINT) AS lev, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM (
+      SELECT levenshtein(a.c_name, b.c_name) AS lev
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    )
+    WHERE lev <= 2
+    GROUP BY lev
+    ORDER BY lev
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (entity resolution): candidate pairs share
+    a 16-char name-prefix block, then edit distance <= 2 verifies — the
+    classic two-stage shape that turns an O(n²) string comparison into
+    per-block work. The equi-join on the block key is the only shuffle;
+    levenshtein evaluates JVM-side post-join. At 100 TB the block key
+    becomes phonetic/q-gram signatures (possibly several, unioned), and
+    skewed blocks get the same salting treatment as any hot join key."""
+    blocked = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk"))
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            .cast("long")
+            .alias("lev")
+        )
+        .where(F.col("lev") <= 2)
+        .groupBy("lev")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("lev")
+    )

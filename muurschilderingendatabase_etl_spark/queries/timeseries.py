@@ -1,0 +1,104 @@
+"""Time-series operators over the events table: grid resampling with
+forward-fill — the feature-engineering shape (regular observations from
+irregular events) that feeds sequence models.
+
+Bucket indexes are integer epoch/21600 (6-hour buckets) on BOTH engines,
+sidestepping every timestamp-zone/precision trap; the dense grid is a
+per-user explode of the global bucket range.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.tables import t
+
+_BUCKET_S = 21600  # 6 hours
+
+
+@query(
+    "timeseries_resample_ffill",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS bucket,
+             ROUND(AVG(value), 4) AS v
+      FROM events WHERE user_id < 20
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(bucket) AS mn, MAX(bucket) AS mx FROM obs
+    ),
+    grid AS (
+      SELECT u.user_id, g.bucket
+      FROM (SELECT DISTINCT user_id FROM obs) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(
+          (SELECT mn FROM bounds), (SELECT mx FROM bounds))) AS bucket
+      ) g
+    ),
+    filled AS (
+      SELECT g.user_id, g.bucket, obs.v,
+        LAST_VALUE(obs.v IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS v_filled
+      FROM grid g LEFT JOIN obs USING (user_id, bucket)
+    )
+    SELECT user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      CAST(COUNT(v) AS BIGINT) AS n_observed,
+      CAST(COUNT(v_filled) AS BIGINT) AS n_filled,
+      ROUND(SUM(v_filled), 2) AS filled_sum
+    FROM filled
+    GROUP BY user_id
+    """,
+)
+def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample irregular events onto a regular 6-hour grid per user and
+    forward-fill gaps (last observation carried forward). Leading gaps
+    before a user's first observation stay null — n_filled counts the
+    carried series.
+
+    Scale shape: the observation aggregation shuffles on (user, bucket);
+    the dense grid is generated per user with explode(sequence(...)) —
+    rows are born distributed, there is no driver-side loop; the
+    forward-fill is one window partitioned by user. Grid density is
+    (span/step) × users — at 100 TB you'd bound the span per partition
+    (e.g. day files) so the generated grid stays proportional to the
+    data it fills."""
+    obs = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .groupBy(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / _BUCKET_S)
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    bounds = obs.agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    users = obs.select("user_id").distinct()
+    grid = users.join(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.join(obs, ["user_id", "bucket"], "left").withColumn(
+        "v_filled", F.last("v", ignorenulls=True).over(w)
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.count("v").alias("n_observed"),
+        F.count("v_filled").alias("n_filled"),
+        F.round(F.sum("v_filled"), 2).alias("filled_sum"),
+    )

@@ -334,3 +334,44 @@ def window_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy("n_events")
     )
+
+
+@query(
+    "window_ntile_buckets",
+    oracle="""
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      ROUND(MIN(c_acctbal), 2) AS min_bal,
+      ROUND(MAX(c_acctbal), 2) AS max_bal,
+      ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM (
+      SELECT c_acctbal,
+        NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+      FROM customer
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def window_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile bucketing via ntile — the histogram/binning
+    primitive (both engines hand the remainder rows to the first
+    buckets, and the (c_acctbal, c_custkey) tie-break makes bucket
+    assignment deterministic). Single global sort; at scale ntile over
+    an un-partitioned window is the one legitimately global-sort
+    operator here — for 100 TB you'd bucket by approx quantile bounds
+    (percentile_approx) instead, trading exactness for parallelism."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .withColumn("bucket", F.ntile(10).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("bucket")
+    )
