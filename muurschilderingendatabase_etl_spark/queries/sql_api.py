@@ -156,3 +156,45 @@ def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("r_regionkey").agg(
         F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
     )
+
+
+@query(
+    "sql_recursive_closure",
+    oracle="""
+    WITH RECURSIVE d(k, depth) AS (
+      SELECT CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+      UNION ALL
+      SELECT s.s_suppkey, d.depth + 1
+      FROM supplier s JOIN d ON CAST(s.s_suppkey // 2 AS BIGINT) = d.k
+      WHERE s.s_suppkey >= 2
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d GROUP BY depth ORDER BY depth
+    """,
+)
+def sql_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 SQL): transitive closure over the
+    implicit binary tree on supplier keys (parent = key div 2),
+    returning node counts per depth.
+
+    Scale shape: each recursion step is one equi-join of the frontier
+    against the (pushdown-filtered) supplier scan — state is the
+    frontier, not the closure, and Catalyst plans every step. Recursion
+    depth is O(log n) HERE because the tree is balanced; for arbitrary
+    deep graphs the DataFrame pointer-jumping in
+    dedup_connected_components (O(log diameter) rounds) is the engine's
+    preferred formulation — this query is the SQL-front-door twin."""
+    _view(spark, sf_dir, "supplier", "supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE d(k, depth) AS (
+          SELECT CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+          UNION ALL
+          SELECT s.s_suppkey, d.depth + 1
+          FROM supplier s JOIN d ON CAST(s.s_suppkey DIV 2 AS BIGINT) = d.k
+          WHERE s.s_suppkey >= 2
+        )
+        SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM d GROUP BY depth ORDER BY depth
+        """
+    )
