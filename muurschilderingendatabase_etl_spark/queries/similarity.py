@@ -108,11 +108,12 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_PLANES = 8
+_N_TABLES = 3  # independent hash tables (seeds 42/43/44), candidates unioned
 _DIM = 64
 
 
-def _hyperplanes() -> list[list[float]]:
-    rng = random.Random(42)
+def _hyperplanes(seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
     return [
         [rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_N_PLANES)
     ]
@@ -120,19 +121,28 @@ def _hyperplanes() -> list[list[float]]:
 
 @query("similarity_lsh_ann")  # rows-only: bucketing is engine-specific
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH with multiprobe.
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH with
+    hamming-2 multiprobe.
 
-    Sign pattern over 8 seeded hyperplanes → 256 buckets; each query
-    probes its own bucket plus all hamming-1 neighbors (9 probes),
-    then exact cosine re-ranks within candidates. Deterministic
-    (seeded planes, tiebreak on vec_id).
-    """
-    planes = _hyperplanes()
+    Three independent tables (seeded plane sets) × sign pattern over 8
+    planes → 256 buckets each; a query probes its bucket plus all
+    hamming-1/2 neighbors (37 probes) in EVERY table, candidates union
+    across tables, exact cosine re-ranks. Per-table hamming-2 recall on
+    this moderate-cosine corpus is ~0.4; three independent tables lift
+    the union to ~1-(1-0.4)³ ≈ 0.78 while each table still touches only
+    ~14% of its bucket space. Deterministic (seeded planes, vec_id
+    tiebreak).
+
+    Scale shape: corpus side carries (table, bucket, vec) — a 3× row
+    fan-out, not a data copy per probe; the probe join is equi on
+    (table, bucket); candidate dedup before re-rank keeps the scoring
+    work proportional to UNIQUE candidates."""
+    tables = [_hyperplanes(seed) for seed in (42, 43, 44)]
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
 
-    def bucket_of(vcol):
+    def bucket_of(vcol, planes):
         bits = [
             F.when(
                 _dot(vcol, F.array(*[F.lit(x) for x in plane])) >= 0, 1 << i
@@ -144,40 +154,83 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + b
         return out
 
-    corpus = emb.select(
-        "vec_id", F.col("v").alias("cv"), _norm(F.col("v")).alias("cnorm"),
-        bucket_of(F.col("v")).alias("bucket"),
-    )
-    # Multiprobe out to hamming distance 2 (1 + 8 + 28 = 37 of 256
-    # buckets): with moderate-cosine neighbors the per-bit agreement
-    # probability is only ~0.6-0.7, so hamming-1 probing alone loses most
-    # true neighbors; hamming-2 roughly triples recall for ~14% of the
-    # corpus touched per query.
-    probes = F.array(
-        F.col("qbucket"),
-        *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)],
+    # Buckets materialize ONCE as columns; every probe below is an xor
+    # on the column reference. Building probes from the raw bucket
+    # EXPRESSION instead would textually inline the 8-dot-product
+    # signature into all 37 probe slots × 3 tables of generated code —
+    # measured 6× slower from codegen size alone.
+    with_buckets = emb.select(
+        "vec_id",
+        "v",
+        _norm(F.col("v")).alias("vnorm"),
         *[
-            F.col("qbucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-            for i in range(_N_PLANES)
-            for j in range(i + 1, _N_PLANES)
+            bucket_of(F.col("v"), planes).alias(f"b{tid}")
+            for tid, planes in enumerate(tables)
         ],
     )
+    table_buckets = F.array(
+        *[
+            F.struct(F.lit(tid).alias("tid"), F.col(f"b{tid}").alias("bucket"))
+            for tid in range(_N_TABLES)
+        ]
+    )
+    corpus = with_buckets.select(
+        "vec_id",
+        F.col("v").alias("cv"),
+        F.col("vnorm").alias("cnorm"),
+        F.explode(table_buckets).alias("tb"),
+    ).select(
+        "vec_id", "cv", "cnorm",
+        F.col("tb.tid").alias("tid"), F.col("tb.bucket").alias("bucket"),
+    )
+
+    def probes_of(bucket_col):
+        # bucket + hamming-1 + hamming-2 = 1 + 8 + 28 = 37 of 256.
+        return F.array(
+            bucket_col,
+            *[bucket_col.bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)],
+            *[
+                bucket_col.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for i in range(_N_PLANES)
+                for j in range(i + 1, _N_PLANES)
+            ],
+        )
+
+    def _tag(tid: int):
+        # NB: a two-arg lambda would be treated by F.transform as the
+        # (element, index) form — the index would silently shadow tid.
+        return lambda p: F.struct(F.lit(tid).alias("tid"), p.alias("probe"))
+
+    probe_structs = F.flatten(
+        F.array(
+            *[
+                F.transform(probes_of(F.col(f"b{tid}")), _tag(tid))
+                for tid in range(_N_TABLES)
+            ]
+        )
+    )
     queries_df = (
-        emb.where(F.col("vec_id") < _N_QUERIES)
+        with_buckets.where(F.col("vec_id") < _N_QUERIES)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
-            _norm(F.col("v")).alias("qnorm"),
-            bucket_of(F.col("v")).alias("qbucket"),
+            F.col("vnorm").alias("qnorm"),
+            F.explode(probe_structs).alias("tp"),
         )
-        .select("q_id", "qv", "qnorm", F.explode(probes).alias("probe"))
+        .select(
+            "q_id", "qv", "qnorm",
+            F.col("tp.tid").alias("qtid"), F.col("tp.probe").alias("probe"),
+        )
     )
     cosine = _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
     scored = (
-        corpus.join(F.broadcast(queries_df), F.col("bucket") == F.col("probe"))
+        corpus.join(
+            F.broadcast(queries_df),
+            (F.col("tid") == F.col("qtid")) & (F.col("bucket") == F.col("probe")),
+        )
         .where(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", cosine.alias("cosine"))
         .dropDuplicates(["q_id", "vec_id"])
+        .select("q_id", "vec_id", cosine.alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     return (

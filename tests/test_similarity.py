@@ -40,9 +40,9 @@ def test_hyperplane_lsh_recall_vs_bruteforce(spark):
     assert set(exact) == set(approx)
     hits = sum(len(exact[q] & approx[q]) for q in exact)
     recall = hits / sum(len(exact[q]) for q in exact)
-    # This corpus's nearest neighbors are only moderately similar
-    # (max cosine ~0.5 -> per-bit sign agreement ~0.6-0.7), so even
-    # hamming-2 multiprobe can't reach IVF-level recall; the bound
-    # asserts it stays far above chance (random top-5 of ~1000 -> 0.005)
-    # and above the hamming-1-only level (~0.10 measured).
-    assert recall >= 0.2, f"hyperplane-LSH recall@k collapsed: {recall:.2f}"
+    # Three independent tables x hamming-2 multiprobe: per-table recall
+    # on this moderate-cosine corpus is ~0.4 (per-bit sign agreement
+    # only ~0.6-0.7), and the 3-table union measures 0.66. The bound
+    # asserts the multi-table lift holds (single-table hamming-2 was
+    # 0.36; chance is ~0.005).
+    assert recall >= 0.5, f"hyperplane-LSH recall@k collapsed: {recall:.2f}"
