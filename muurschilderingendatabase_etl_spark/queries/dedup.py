@@ -613,3 +613,60 @@ def pipeline_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "pack_sequence_bins",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+          AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+        (ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 16
+          AS bin
+      FROM sized
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM ranked GROUP BY bin ORDER BY bin
+    """,
+)
+def pack_sequence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign documents to 16
+    bins balancing total token count, via sort-by-length-descending +
+    round-robin — the parallelizable approximation of first-fit-
+    decreasing (within ~1 max-document of optimal balance, vs FFD's
+    inherently sequential bin state). Token counts use the BPE-ish
+    regex from text_token_count.
+
+    Scale shape: one global rank by length (ntile-style; at 100 TB
+    replace with approx-quantile range bucketing, same as
+    window_ntile_buckets' note), then pure arithmetic binning — no
+    per-bin state, no driver loop."""
+    sized = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)
+            )
+        ).alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_tokens"), "doc_id")
+    return (
+        sized.withColumn(
+            "bin", ((F.row_number().over(w) - 1) % 16).cast("long")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("bin")
+    )

@@ -26,8 +26,9 @@ def test_ivf_recall_vs_bruteforce(spark):
     total = sum(len(exact[q]) for q in exact)
     recall = hits / total
     # 16 cells / nprobe 3 over 10-cluster synthetic data: most true
-    # neighbors share the query's cell family.
-    assert recall >= 0.5, f"IVF recall@k collapsed: {recall:.2f}"
+    # neighbors share the query's cell family (measured 0.90 at sf0.001,
+    # 0.84 at sf0.01).
+    assert recall >= 0.7, f"IVF recall@k collapsed: {recall:.2f}"
 
 
 def test_hyperplane_lsh_recall_vs_bruteforce(spark):
