@@ -415,3 +415,68 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_gap_s"
         ),
     )
+
+
+@query(
+    "join_asof_forward_tolerance",
+    oracle="""
+    WITH views AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    purchases AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.event_id, v.user_id,
+      (SELECT p.event_id FROM purchases p
+       WHERE p.user_id = v.user_id AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 24 HOUR
+       ORDER BY p.ts, p.event_id LIMIT 1) AS next_purchase_event
+    FROM views v
+    """,
+)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (merge_asof
+    direction='forward'): each view matched to the earliest purchase of
+    the same user at-or-after its timestamp, within 24 h (else null).
+
+    Same union + carry formulation as the backward as-of, run in
+    reverse time order: one shuffle on user_id, O(1) window state, the
+    tolerance applied as a post-carry null-out — still no range
+    cross-product. Tie semantics: a purchase at exactly the view ts is
+    eligible; equal-ts purchases resolve to the smallest event_id
+    (purchases sort before views at equal ts in the reversed order, and
+    among purchases the DESC event_id ordering makes the LAST-carried
+    one the smallest)."""
+    events = t(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_view")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_view")
+    )
+    unioned = views.unionByName(purchases).select(
+        "*",
+        F.when(F.col("is_view") == 0, F.col("event_id")).alias("p_event"),
+        F.when(F.col("is_view") == 0, F.col("ts")).alias("p_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), "is_view", F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("p_event", ignorenulls=True).over(w).alias("next_event"),
+        F.last("p_ts", ignorenulls=True).over(w).alias("next_ts"),
+    )
+    in_tolerance = F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 24 HOURS")
+    return (
+        carried.where(F.col("is_view") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(in_tolerance, F.col("next_event")).alias(
+                "next_purchase_event"
+            ),
+        )
+    )

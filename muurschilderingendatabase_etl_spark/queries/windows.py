@@ -375,3 +375,41 @@ def window_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+      ROUND(list_sort([value, l1, l2])[2], 4) AS m
+    FROM (
+      SELECT user_id, event_id, value,
+        LAG(value, 1) OVER w AS l1,
+        LAG(value, 2) OVER w AS l2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE l2 IS NOT NULL
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over a 3-row trailing frame per user —
+    robust-statistics smoothing (outlier-resistant counterpart of
+    window_moving_avg_frame), as middle-of-three over lag values
+    (Spark disallows ordered frames for the median aggregate; the
+    sort-of-3 formulation is pure codegen and engine-portable). Only
+    full frames emit. Same single-shuffle shape as every other window
+    here."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 1).over(w).alias("l1"),
+        F.lag("value", 2).over(w).alias("l2"),
+    )
+    mid = F.element_at(F.array_sort(F.array("value", "l1", "l2")), 2)
+    return (
+        lagged.where(F.col("l2").isNotNull())
+        .select("user_id", "event_id", F.round(mid, 4).alias("m"))
+    )
