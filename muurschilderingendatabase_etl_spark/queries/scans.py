@@ -54,7 +54,11 @@ def scan_parquet_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed CSV write + schema-explicit read back (header mode).
-    path = os.path.join(tempfile.gettempdir(), "msdb_spark_csv_nation")
+    # Session-scoped path: fixed paths race under concurrent sessions.
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"msdb_spark_csv_nation_{spark.sparkContext.applicationId}",
+    )
     t(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
     return spark.read.schema(
         "n_nationkey int, n_name string, n_regionkey int"
@@ -67,8 +71,11 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JSON-lines write + explicit-schema read (inference would also work but
-    # is a full extra pass at scale).
-    path = os.path.join(tempfile.gettempdir(), "msdb_spark_json_customer")
+    # is a full extra pass at scale). Session-scoped path (see CSV note).
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"msdb_spark_json_customer_{spark.sparkContext.applicationId}",
+    )
     t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     ).write.mode("overwrite").json(path)
@@ -87,7 +94,12 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Write an aggregate to parquet and read it back — sink + source parity.
-    path = os.path.join(tempfile.gettempdir(), "msdb_spark_parquet_sink")
+    # Path is session-scoped: a FIXED path raced when two sessions (e.g.
+    # the driver check and a concurrent test run) overwrote it mid-read.
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"msdb_spark_parquet_sink_{spark.sparkContext.applicationId}",
+    )
     agg = (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
@@ -213,25 +225,31 @@ def sink_managed_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog surface: saveAsTable into the managed warehouse, extend it
     with SQL INSERT INTO, read back through the catalog — the DDL/DML
     path alongside the file-path reads used elsewhere."""
+    import re
     import shutil
 
-    spark.sql("DROP TABLE IF EXISTS msdb_nations_rt")
+    # Session-scoped table name: the warehouse dir is shared across
+    # builder sessions, and a fixed name races when two sessions (driver
+    # check + tests) drop/recreate it concurrently.
+    app = re.sub(r"[^A-Za-z0-9]", "_", spark.sparkContext.applicationId)
+    table = f"msdb_nations_rt_{app}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     # The managed location outlives the in-memory catalog across
     # sessions; clear any stale directory or saveAsTable refuses with
     # LOCATION_ALREADY_EXISTS.
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(f"{warehouse}/msdb_nations_rt", ignore_errors=True)
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
     (
         t(spark, sf_dir, "nation")
         .select("n_nationkey", "n_regionkey", F.lit(False).alias("is_extra"))
         .write.mode("overwrite")
         .format("parquet")
-        .saveAsTable("msdb_nations_rt")
+        .saveAsTable(table)
     )
     t(spark, sf_dir, "region").createOrReplaceTempView("msdb_region_src")
     spark.sql(
-        """
-        INSERT INTO msdb_nations_rt
+        f"""
+        INSERT INTO {table}
         SELECT r_regionkey + 1000 AS n_nationkey,
                r_regionkey AS n_regionkey,
                TRUE AS is_extra
@@ -239,10 +257,10 @@ def sink_managed_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql(
-        """
+        f"""
         SELECT n_regionkey, COUNT(*) AS n_nations,
                SUM(CASE WHEN is_extra THEN 1 ELSE 0 END) AS n_extra
-        FROM msdb_nations_rt
+        FROM {table}
         GROUP BY n_regionkey
         """
     )
