@@ -226,3 +226,107 @@ def project_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return docs.select("doc_id", F.explode_outer("lw").alias("long_word"))
+
+
+@query(
+    "project_unpivot_melt",
+    oracle="""
+    SELECT c_custkey, metric, ROUND(val, 2) AS val
+    FROM (
+      SELECT c_custkey, c_acctbal AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nationkey
+      FROM customer WHERE c_custkey < 500
+    ) UNPIVOT (val FOR metric IN (acctbal, nationkey))
+    """,
+)
+def project_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — wide-to-long reshaping (the inverse of
+    pivot_segment_by_year): per-customer metric columns become
+    (metric, value) rows via the native unpivot operator, a pure
+    generator projection (rows × n_metrics, no shuffle at all)."""
+    wide = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 500)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+    )
+    return wide.unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="raw_val",
+    ).select("c_custkey", "metric", F.round("raw_val", 2).alias("val"))
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+      CAST(GROUPING(r_name) AS BIGINT) AS is_total,
+      CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() metadata on a rollup: distinguishes 'the r_name
+    column is NULL because this is the grand-total row' from a genuine
+    NULL value — required for correct rollup consumers (the COALESCE
+    label alone is ambiguous when data can contain the label value)."""
+    joined = t(spark, sf_dir, "nation").join(
+        F.broadcast(t(spark, sf_dir, "region")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        joined.rollup("r_name")
+        .agg(
+            F.grouping("r_name").cast("long").alias("is_total"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            "is_total",
+            "n_nations",
+        )
+    )
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+      ROUND(o_totalprice / NULLIF(CAST(o_orderkey % 7 AS DOUBLE), 0), 4)
+        AS safe_ratio,
+      TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+      CAST(COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER), -1)
+           AS BIGINT) AS priority_digit
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: try_divide (NULL on /0 instead of
+    error or Inf), try_cast (NULL on malformed input) and a coalesced
+    fallback — the error-tolerant scalar layer a pipeline needs when
+    ANSI mode is on (Spark 4 default), mirroring the reference's
+    tolerate-and-continue stance (O20) at expression granularity."""
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.round(
+                F.try_divide(
+                    F.col("o_totalprice"),
+                    (F.col("o_orderkey") % 7).cast("double"),
+                ),
+                4,
+            ).alias("safe_ratio"),
+            F.try_to_number(F.col("o_orderpriority"), F.lit("9")).cast("int").alias("bad_cast"),
+            F.coalesce(
+                F.substring("o_orderpriority", 1, 1).try_cast("int"), F.lit(-1)
+            ).cast("long").alias("priority_digit"),
+        )
+    )
