@@ -261,3 +261,35 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)), 2
         ).alias("p99_approx"),
     )
+
+
+@query("agg_hll_rolling_uniques")  # rows-only: sketch estimates are engine-specific
+def agg_hll_rolling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct users: per-day HLL sketches merged over a
+    trailing 3-day window (hll_union_agg OVER) — the production pattern
+    for rolling uniques at 100 TB: the raw fact is touched ONCE to
+    build daily kilobyte sketches; every trailing window after that
+    merges sketches, never rescans events. Exact trailing distinct
+    would need a self-join back to the raw data per window.
+
+    The window here is a global orderBy over ~30 day rows (trivially
+    small — one row per day); a multi-tenant deployment partitions the
+    window by tenant. Estimate accuracy vs exact is regression-tested
+    in tests/test_plans.py."""
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    )
+    w = Window.orderBy("day").rowsBetween(-2, Window.currentRow)
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+                "rolling_unique_users"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -299,3 +299,32 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hll_rolling_uniques_tracks_exact(spark):
+    # The sketch-merge rolling distinct must track the exact trailing
+    # 3-day distinct count within HLL error (lgK=14 -> ~1%; assert 5%).
+    import pyspark.sql.functions as F
+
+    from muurschilderingendatabase_etl_spark.tables import t
+
+    est = {
+        r["day"]: r["rolling_unique_users"]
+        for r in registry.all_queries()["agg_hll_rolling_uniques"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ev = t(spark, SF_DIR, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    days = sorted(est)
+    for i, day in enumerate(days):
+        lo = days[max(0, i - 2)]
+        exact = (
+            ev.where((F.col("day") >= lo) & (F.col("day") <= day))
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert abs(est[day] - exact) / max(exact, 1) < 0.05, (day, est[day], exact)
