@@ -13,7 +13,9 @@ not single files.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -21,6 +23,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from muurschilderingendatabase_etl_spark.registry import query
 from muurschilderingendatabase_etl_spark.tables import t
+
+
+def _rm_at_exit(path: str) -> str:
+    """Delete a scratch dir when the interpreter exits.
+
+    Deferred (not eager) because every sink query returns a LAZY read
+    over the path it just wrote — the caller collects after we return.
+    By interpreter exit all Spark jobs are done, so the delete is safe,
+    and tmp no longer accumulates one directory per session.
+    """
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 @query(
@@ -55,10 +69,10 @@ def scan_parquet_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed CSV write + schema-explicit read back (header mode).
     # Session-scoped path: fixed paths race under concurrent sessions.
-    path = os.path.join(
+    path = _rm_at_exit(os.path.join(
         tempfile.gettempdir(),
         f"msdb_spark_csv_nation_{spark.sparkContext.applicationId}",
-    )
+    ))
     t(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
     return spark.read.schema(
         "n_nationkey int, n_name string, n_regionkey int"
@@ -72,10 +86,10 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JSON-lines write + explicit-schema read (inference would also work but
     # is a full extra pass at scale). Session-scoped path (see CSV note).
-    path = os.path.join(
+    path = _rm_at_exit(os.path.join(
         tempfile.gettempdir(),
         f"msdb_spark_json_customer_{spark.sparkContext.applicationId}",
-    )
+    ))
     t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     ).write.mode("overwrite").json(path)
@@ -96,10 +110,10 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Write an aggregate to parquet and read it back — sink + source parity.
     # Path is session-scoped: a FIXED path raced when two sessions (e.g.
     # the driver check and a concurrent test run) overwrote it mid-read.
-    path = os.path.join(
+    path = _rm_at_exit(os.path.join(
         tempfile.gettempdir(),
         f"msdb_spark_parquet_sink_{spark.sparkContext.applicationId}",
-    )
+    ))
     agg = (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
@@ -121,7 +135,7 @@ def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface as rows with NULL fields + populated _corrupt_record."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    tmp = tempfile.mkdtemp(prefix="msdb_corrupt_json_")
+    tmp = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_corrupt_json_"))
     path = os.path.join(tmp, "part-0.json")
     with open(path, "w", encoding="utf-8") as f:
         f.write(
@@ -163,7 +177,7 @@ def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC write + read round-trip (Spark's second columnar format);
     aggregation over the re-read copy must match the original."""
-    tmp = tempfile.mkdtemp(prefix="msdb_orc_")
+    tmp = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_orc_"))
     t(spark, sf_dir, "orders").write.mode("overwrite").orc(tmp)
     return (
         spark.read.orc(tmp)
@@ -192,7 +206,7 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     — directories for other years are never opened. THE layout lever at
     100 TB: time-partitioned facts make every time-bounded query touch
     only its slice."""
-    tmp = tempfile.mkdtemp(prefix="msdb_part_")
+    tmp = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_part_"))
     (
         t(spark, sf_dir, "orders")
         .withColumn("order_year", F.year("o_orderdate"))
@@ -279,7 +293,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML write + read round-trip (Spark 4 native XML source) with an
     explicit schema on the read-back — the config/feed interchange format
     the reference world (Omeka/RDF tooling) still speaks."""
-    tmp = tempfile.mkdtemp(prefix="msdb_xml_")
+    tmp = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_xml_"))
     (
         t(spark, sf_dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
@@ -319,7 +333,7 @@ def sink_sorted_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     for high-cardinality sort keys; the same layout lever as Z-ordering
     on a single dimension). At 100 TB: range-partition by date, sort
     within, and time-bounded scans touch only their row groups."""
-    tmp = tempfile.mkdtemp(prefix="msdb_sorted_")
+    tmp = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_sorted_"))
     (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_shipdate", "l_extendedprice")

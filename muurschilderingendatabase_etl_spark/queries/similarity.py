@@ -108,36 +108,50 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_PLANES = 8
-_N_TABLES = 3  # independent hash tables (seeds 42/43/44), candidates unioned
+_LSH_SEEDS = (42, 43, 44, 45)  # independent hash tables, candidates unioned
+_N_TABLES = len(_LSH_SEEDS)
+_PROBE_RADIUS = 3  # probe all buckets within this hamming distance
 _DIM = 64
 
 
-def _hyperplanes(seed: int = 42) -> list[list[float]]:
+def _hyperplanes(seed: int = 42, n_planes: int = _N_PLANES) -> list[list[float]]:
     rng = random.Random(seed)
     return [
-        [rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_N_PLANES)
+        [rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(n_planes)
     ]
 
 
 @query("similarity_lsh_ann")  # rows-only: bucketing is engine-specific
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via MULTI-TABLE random-hyperplane LSH with
-    hamming-2 multiprobe.
+    hamming-3 multiprobe.
 
-    Three independent tables (seeded plane sets) × sign pattern over 8
+    Four independent tables (seeded plane sets) × sign pattern over 8
     planes → 256 buckets each; a query probes its bucket plus all
-    hamming-1/2 neighbors (37 probes) in EVERY table, candidates union
-    across tables, exact cosine re-ranks. Per-table hamming-2 recall on
-    this moderate-cosine corpus is ~0.4; three independent tables lift
-    the union to ~1-(1-0.4)³ ≈ 0.78 while each table still touches only
-    ~14% of its bucket space. Deterministic (seeded planes, vec_id
-    tiebreak).
+    hamming-≤3 neighbors (93 probes, ~36% of the bucket space) in EVERY
+    table, candidates union across tables, exact cosine re-ranks.
+    Measured recall@5: 0.96 at sf0.001, 0.98 at sf0.01 and sf0.1
+    (regression floor 0.85, tests/test_similarity.py); the sweep behind
+    the choice is scripts/exp_lsh_recall.py (radius 2 → 0.66-0.88,
+    radius 3 lifts every table count ≥0.92). Deterministic (seeded
+    planes, vec_id tiebreak).
 
-    Scale shape: corpus side carries (table, bucket, vec) — a 3× row
+    Scale shape: corpus side carries (table, bucket, vec) — a 4× row
     fan-out, not a data copy per probe; the probe join is equi on
     (table, bucket); candidate dedup before re-rank keeps the scoring
     work proportional to UNIQUE candidates."""
-    tables = [_hyperplanes(seed) for seed in (42, 43, 44)]
+    return _lsh_ann(spark, sf_dir)
+
+
+def _lsh_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    seeds: tuple[int, ...] = _LSH_SEEDS,
+    n_planes: int = _N_PLANES,
+    radius: int = _PROBE_RADIUS,
+) -> DataFrame:
+    tables = [_hyperplanes(seed, n_planes) for seed in seeds]
+    n_tables = len(tables)
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
@@ -171,7 +185,7 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_buckets = F.array(
         *[
             F.struct(F.lit(tid).alias("tid"), F.col(f"b{tid}").alias("bucket"))
-            for tid in range(_N_TABLES)
+            for tid in range(n_tables)
         ]
     )
     corpus = with_buckets.select(
@@ -185,15 +199,13 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def probes_of(bucket_col):
-        # bucket + hamming-1 + hamming-2 = 1 + 8 + 28 = 37 of 256.
+        # all masks with popcount <= radius; radius 3 over 8 planes =
+        # 1 + 8 + 28 + 56 = 93 of 256.
+        masks = [
+            m for m in range(1 << n_planes) if bin(m).count("1") <= radius
+        ]
         return F.array(
-            bucket_col,
-            *[bucket_col.bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)],
-            *[
-                bucket_col.bitwiseXOR(F.lit((1 << i) | (1 << j)))
-                for i in range(_N_PLANES)
-                for j in range(i + 1, _N_PLANES)
-            ],
+            *[bucket_col.bitwiseXOR(F.lit(m)) for m in masks]
         )
 
     def _tag(tid: int):
@@ -205,7 +217,7 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             *[
                 F.transform(probes_of(F.col(f"b{tid}")), _tag(tid))
-                for tid in range(_N_TABLES)
+                for tid in range(n_tables)
             ]
         )
     )
@@ -283,7 +295,7 @@ def similarity_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_K = 16       # coarse centroids
 _IVF_ITERS = 3    # Lloyd's iterations
-_IVF_NPROBE = 3   # cells probed per query
+_IVF_NPROBE = 4   # cells probed per query (25% of cells; recall ≥0.88 measured)
 
 
 @query("similarity_ivf_ann")  # rows-only: centroid training is engine-internal
@@ -299,6 +311,12 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     query scans only its nprobe cells instead of the full corpus. At
     100 TB the assignment table is the persisted index; training and
     search are separate jobs sharing it.
+
+    Quality: recall@5 vs brute force measured 0.90/0.88/0.92 at
+    sf0.001/0.01/0.1 with nprobe=4 (floor 0.8,
+    tests/test_similarity.py). The search stage carries an `observe`
+    metric (`ivf_search.n_candidates`) so production runs can monitor
+    how much of the corpus each query actually scanned.
     """
     # cache(): every Lloyd iteration re-uses the cast vectors; without it
     # each of the ~5 jobs re-scans the parquet and re-casts the arrays —
@@ -366,8 +384,13 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _IVF_NPROBE)
         .select("q_id", "qv", "cid")
     )
-    # search only the probed cells
-    cand = probes.join(index, "cid").where(F.col("q_id") != F.col("vec_id"))
+    # search only the probed cells; observe() rides the existing pass —
+    # no extra job — and exposes scanned-candidate volume per run
+    cand = (
+        probes.join(index, "cid")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .observe("ivf_search", F.count(F.lit(1)).alias("n_candidates"))
+    )
     cosine = _dot(F.col("qv"), F.col("v")) / (
         _norm(F.col("qv")) * _norm(F.col("v"))
     )
