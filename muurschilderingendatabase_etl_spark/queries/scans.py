@@ -253,6 +253,11 @@ def sink_managed_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LOCATION_ALREADY_EXISTS.
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    # The session-scoped table dir would otherwise accumulate in the
+    # shared warehouse forever (one per applicationId); reclaim it when
+    # this interpreter exits (the returned frame is collected well before
+    # then, and the catalog entry dies with the session anyway).
+    _rm_at_exit(f"{warehouse}/{table}")
     (
         t(spark, sf_dir, "nation")
         .select("n_nationkey", "n_regionkey", F.lit(False).alias("is_extra"))

@@ -218,13 +218,22 @@ def subq_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-nation maximum holders. Decorrelated to a groupBy(max) + join:
     one partial+final agg and one equi-join instead of a per-row
     rescan; ties (multiple suppliers at the max) are preserved, exactly
-    the ALL semantics."""
+    the ALL semantics.
+
+    NULL fidelity: SQL's `x >= ALL (S)` is UNKNOWN (row dropped) when S
+    contains a NULL, but MAX ignores NULLs and would keep the top row.
+    The decorrelation therefore carries a per-group has-NULL flag
+    (count(*) != count(col)) and excludes those groups, matching the
+    quantified-comparison semantics even on NULL-bearing data."""
     sup = t(spark, sf_dir, "supplier").select("s_nationkey", "s_name", "s_acctbal")
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    nation_max = sup.groupBy("s_nationkey").agg(F.max("s_acctbal").alias("max_bal"))
+    nation_max = sup.groupBy("s_nationkey").agg(
+        F.max("s_acctbal").alias("max_bal"),
+        (F.count(F.lit(1)) != F.count("s_acctbal")).alias("has_null_bal"),
+    )
     return (
         sup.join(nation_max, "s_nationkey")
-        .where(F.col("s_acctbal") >= F.col("max_bal"))
+        .where((F.col("s_acctbal") >= F.col("max_bal")) & ~F.col("has_null_bal"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("n_name", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
         .orderBy("n_name", "s_name")

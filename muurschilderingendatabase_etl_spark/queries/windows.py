@@ -318,9 +318,15 @@ def window_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
+            # Exact integer-microsecond gap: a double cast (epoch ~1.7e9 s)
+            # can round at the precise 1800 s boundary and flip a split vs
+            # the oracle's exact INTERVAL comparison. The cast handles ts
+            # arriving as TIMESTAMP_NTZ (unix_micros wants LTZ; session TZ
+            # is UTC so the cast is value-preserving).
             | (
-                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-                > 1800
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > 1_800_000_000
             ),
             1,
         ).otherwise(0),

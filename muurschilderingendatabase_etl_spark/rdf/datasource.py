@@ -68,8 +68,11 @@ class OmekaRestReader(DataSourceReader):
         else:
             from urllib.request import urlopen
 
+            # rstrip-normalized so a base_url without a trailing slash
+            # doesn't silently produce a malformed URL (which the tolerant
+            # OSError policy below would mask as an empty scan).
             url = (
-                f"{self.base_url}api/items?format=turtle"
+                f"{self.base_url.rstrip('/')}/api/items?format=turtle"
                 f"&page={page}&per_page={self.per_page}"
             )
             try:

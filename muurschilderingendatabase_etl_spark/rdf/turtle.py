@@ -334,9 +334,30 @@ def write_turtle(
     lines.saveAsTextFile(path)
 
 
-def serialize_turtle(triples: DataFrame, prefixes: dict[str, str] | None = None) -> str:
+_SERIALIZE_MAX_TRIPLES = 1_000_000  # ~100 MB of driver strings; override per call
+
+
+def serialize_turtle(
+    triples: DataFrame,
+    prefixes: dict[str, str] | None = None,
+    max_triples: int = _SERIALIZE_MAX_TRIPLES,
+) -> str:
     """Driver-side serialization to a single string (golden tests /
-    small artifacts — the reference's graph.serialize analogue)."""
+    small artifacts — the reference's graph.serialize analogue,
+    workflows:33-39 single-file handoff).
+
+    Guarded: this path collects to the driver, so a graph above
+    `max_triples` raises instead of silently OOM-ing the driver at 100x
+    scale — callers with big graphs belong on the distributed
+    `write_turtle` sink. The limit check is a cheap pushdown-friendly
+    `limit(n+1).count()`, not a full count of the graph."""
+    n = triples.limit(max_triples + 1).count()
+    if n > max_triples:
+        raise ValueError(
+            f"serialize_turtle collects to the driver and the graph exceeds "
+            f"max_triples={max_triples}; use write_turtle(df, path) for the "
+            f"distributed single-artifact sink instead"
+        )
     prefix_items = sorted((prefixes or {}).items())
     prefix_order = sorted(prefix_items, key=lambda kv: -len(kv[1]))
     rows = triples.select(*TRIPLE_COLS).orderBy("s", "p", "o").collect()

@@ -24,11 +24,16 @@ def main() -> None:
     if not runs:
         sys.exit("need at least one BENCH_DETAIL.json path")
     names = sorted(set().union(*runs))
-    means = {
-        q: sum(r[q] for r in runs if q in r and r[q] >= 0)
-        / max(1, sum(1 for r in runs if q in r and r[q] >= 0))
-        for q in names
-    }
+    means = {}
+    for q in names:
+        samples = [r[q] for r in runs if q in r and r[q] >= 0]
+        if not samples:
+            # Negative values are bench error markers; a query that failed
+            # in EVERY run must not be recorded as a 0.00 s baseline (that
+            # would make any future passing run trip the 2x gate).
+            print(f"WARNING: {q} errored in all runs — skipping", file=sys.stderr)
+            continue
+        means[q] = sum(samples) / len(samples)
     total = round(sum(means.values()), 3)
     singles = [round(sum(v for v in r.values() if v >= 0), 3) for r in runs]
 
@@ -40,7 +45,7 @@ def main() -> None:
         "",
         f"{MARKER} (refreshed {today})",
         "",
-        f"Full registered suite ({len(names)} queries), sf0.1, local[32],",
+        f"Full registered suite ({len(means)} queries), sf0.1, local[32],",
         "`spark.sql.shuffle.partitions=32`, noop sink, one warm-up run.",
         f"Numbers are the per-query MEAN of {len(runs)} full runs — run-to-run",
         "noise on this box is roughly +/-30% per query (fixed JVM/scheduling",
@@ -54,11 +59,11 @@ def main() -> None:
         "| Query | sec |",
         "|---|---|",
     ]
-    for q in names:
+    for q in sorted(means):
         lines.append(f"| {q} | {means[q]:.2f} |")
     lines.append("")
     open("BASELINE.md", "w").write("\n".join(lines))
-    print(f"BASELINE.md refreshed: {len(names)} queries, suite {total} s")
+    print(f"BASELINE.md refreshed: {len(means)} queries, suite {total} s")
 
 
 if __name__ == "__main__":

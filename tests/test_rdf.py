@@ -128,6 +128,19 @@ def test_turtle_round_trip(spark, tmp_path):
     assert "dcterms:title" in text
 
 
+def test_serialize_turtle_size_guard(spark, tmp_path):
+    import pytest
+
+    path = tmp_path / "fixture.ttl"
+    path.write_text(FIXTURE_TTL, encoding="utf-8")
+    triples = triples_only(read_turtle(spark, str(path)))
+    with pytest.raises(ValueError, match="write_turtle"):
+        serialize_turtle(triples, {"dcterms": DCTERMS}, max_triples=2)
+    # At/under the ceiling still serializes.
+    n = triples.count()
+    assert serialize_turtle(triples, {"dcterms": DCTERMS}, max_triples=n)
+
+
 def test_corrupt_quarantine(spark, tmp_path):
     bad = tmp_path / "bad.ttl"
     bad.write_text("this is ;;; not turtle <", encoding="utf-8")
