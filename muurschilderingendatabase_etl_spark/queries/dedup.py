@@ -82,10 +82,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking on `source` keeps the pair space O(block²); the LSH query
     below is the unblocked variant.
     """
+    return _ngram_jaccard_pairs(spark, sf_dir).drop("block")
+
+
+def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard plus the blocking key (`block` = source) —
+    consumers that partition by the mining block (connected components'
+    local union-find phase) take this variant."""
     import math
 
+    # Words are 64-bit-hashed BEFORE the pair join: set intersection over
+    # longs is ~2.5x cheaper than over strings and the shuffled candidate
+    # payload shrinks to 8 bytes/word. Jaccard over hashed sets equals
+    # jaccard over word sets unless two distinct words of one pair's
+    # union collide in 64 bits (P ~ |vocab|²/2⁶⁵ — negligible; the driver
+    # oracle cross-check would surface it).
     docs = t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda x: F.xxhash64(x))
+        ).alias("w"),
     ).withColumn("n", F.size("w"))
     # Size-bound prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so τ=0.95
     # requires set sizes within 5%. Exploited twice:
@@ -101,13 +118,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.withColumn(
         "bk", F.explode(F.array(bucket - 1, bucket, bucket + 1))
     ).alias("b")
-    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w")))
-    union = F.size(F.array_union(F.col("a.w"), F.col("b.w")))
-    jaccard = inter.cast("double") / union
     size_band = (
         (F.col("a.n").cast("double") >= F.col("b.n") * 0.95)
         & (F.col("b.n").cast("double") >= F.col("a.n") * 0.95)
     )
+    # Intersection size is projected ONCE per candidate pair, then jaccard
+    # derives from it via |A∪B| = |A|+|B|-|A∩B| — no array_union pass, and
+    # no re-evaluation of array_intersect across the filter/select
+    # operator boundary (w arrays are hundreds of words; the array scans
+    # ARE the cost of this query).
+    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w")))
     return (
         a.join(
             b,
@@ -116,11 +136,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & size_band,
         )
-        .where(jaccard >= 0.95)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jaccard, 6).alias("jaccard"),
+            (
+                inter.cast("double")
+                / (F.col("a.n") + F.col("b.n") - inter).cast("double")
+            ).alias("jaccard_raw"),
+            F.col("a.source").alias("block"),
+        )
+        .where(F.col("jaccard_raw") >= 0.95)
+        .select(
+            "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"), "block"
         )
     )
 
@@ -436,24 +463,73 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup cluster' step that follows pair mining in a training-data
     pipeline.
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own and its neighbors' labels (one join + one groupBy per
-    round); converges in O(graph diameter) rounds. localCheckpoint
-    truncates lineage so the plan doesn't grow per iteration — the
-    standard Spark pattern for iterative algorithms (same shape at
-    100 TB, where the oracle's transitive-closure CTE would explode).
+    Two-level CC — the production shape for block-mined dup graphs:
+
+    1. LOCAL phase: edges are partitioned by the pair-mining blocking key
+       and each partition runs an in-memory union-find (Arrow-batched
+       mapInPandas) — linear work, ONE shuffle, no iteration. Because the
+       miner only emits same-block pairs, every component is contained in
+       one partition and this phase already finds the exact components.
+    2. GLOBAL phase: the generic pointer-jumping min-label loop
+       (localCheckpoint lineage cuts, observe()-folded convergence probe
+       so the probe costs no extra job) reconciles components that span
+       partitions. On block-local graphs it certifies convergence in one
+       round; on arbitrary cross-block graphs it does the full
+       O(log diameter) work — the 100 TB safety net, not dead code.
+
+    Same shape at 100 TB: the local phase bounds memory by the mining
+    block (any block too big for one task would have blown up the
+    O(block²) miner first), and the loop's per-round cost scales with the
+    contracted graph, not the raw edge count.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
-    edges = edges.repartition("src").localCheckpoint()
+    from pyspark.sql import Observation
+
+    # Mined ONCE: both the local phase and the edge list below hang off
+    # this checkpoint (without it each derivation re-runs the O(block²)
+    # mining join).
+    pairs = (
+        _ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b", "block")
+        .localCheckpoint()
+    )
+
+    def local_uf(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a_, b_ in zip(pdf["doc_a"], pdf["doc_b"]):
+                ra, rb = find(int(a_)), find(int(b_))
+                if ra != rb:  # min-root union keeps label = min(doc_id)
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        import pandas as pd
+
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "label": [find(x) for x in nodes]}
+        )
 
     labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
+        pairs.repartition("block")
+        .mapInPandas(local_uf, schema="node long, label long")
+        .localCheckpoint()
     )
-    for _ in range(32):  # ≥ log2(diameter) thanks to pointer jumping
+
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+
+    for i in range(32):  # ≥ log2(diameter) thanks to pointer jumping
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -461,35 +537,39 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stepped = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
             ).alias("label"),
         )
         # Pointer jumping: also adopt the label of my current label, which
         # doubles propagation distance per round — O(log diameter) rounds
-        # instead of O(diameter), the difference that matters when dup
-        # chains are long.
+        # instead of O(diameter) when dup chains are long.
         hop = stepped.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
+        obs = Observation(f"cc_round_{i}")
         new_labels = (
             stepped.join(hop, stepped.label == hop.jnode, "left")
             .select(
                 "node",
+                "old_label",
                 F.least(
                     F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("label") != F.col("old_label")).cast("long")),
+                    F.lit(0),
+                ).alias("changed"),
+            )
+            .select("node", "label")
+            .localCheckpoint()  # eager: runs the round AND fires the observation
         )
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
