@@ -337,6 +337,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from muurschilderingendatabase_etl_spark.streaming.replay import (
         stage_events_two_phase,
+        stream_state_partitions,
     )
 
     srcdir, parked = stage_events_two_phase(spark, sf_dir)
@@ -361,15 +362,16 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events",
             )
         )
-        q = (
-            win.writeStream.format("parquet")
-            .option("path", outdir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_state_partitions(spark):
+            q = (
+                win.writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     run_once()  # bulk only; persists watermark = max(bulk ts) - 1h
     shutil.copy(parked, f"{srcdir}/b_stragglers.parquet")
@@ -455,13 +457,18 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(outdir)
 
-    q = (
-        ev.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="msdb_feb_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    from muurschilderingendatabase_etl_spark.streaming.replay import (
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with stream_state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="msdb_feb_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(outdir)
         .groupBy("event_type")

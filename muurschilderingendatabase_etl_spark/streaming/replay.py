@@ -13,6 +13,8 @@ and state management are already in place.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import tempfile
 import uuid
 
@@ -21,6 +23,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 _STAGED: dict[tuple[str, str], str] = {}
+
+
+@contextlib.contextmanager
+def stream_state_partitions(spark: SparkSession, n: int | None = None):
+    """Temporarily size `spark.sql.shuffle.partitions` for a streaming
+    query start.
+
+    The stateful-operator partition count is LOCKED INTO THE CHECKPOINT
+    when a streaming query first starts, so it must be sized to the
+    query's state cardinality, not inherited from the batch default: each
+    state partition is a state-store instance with per-micro-batch
+    open/commit/snapshot overhead, which dominates when per-key state is
+    small (measured on the stream-stream joins: 32 -> 8 partitions cut
+    wall time from 8.0 s to 3.5 s at sf0.1). At 100 TB scale this knob
+    goes UP with keyspace; override via SPARK_GRAFT_STREAM_STATE_PARTITIONS.
+    """
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,16 +69,17 @@ def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame
     """Execute a streaming DataFrame to completion into a memory sink and
     return the materialized result as a batch DataFrame."""
     name = f"msdb_stream_{uuid.uuid4().hex[:12]}"
-    query = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="msdb_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
     spark = result.sparkSession
+    with stream_state_partitions(spark):
+        query = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="msdb_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 

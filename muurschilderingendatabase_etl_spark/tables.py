@@ -48,8 +48,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # every fixture table.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) fixture era: int64 nanos → µs timestamp.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] (no tz) fixture era: Spark reads TIMESTAMP_NTZ,
+            # which watermarks/unix_micros reject. Session TZ is UTC
+            # (session.get_spark), so the cast to TIMESTAMP is
+            # value-preserving and matches DuckDB's naive-timestamp oracle.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

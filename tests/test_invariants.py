@@ -99,6 +99,97 @@ def test_sessionize_conservation(spark):
     assert sum(r["n_events"] * r["n_sessions"] for r in rows) == n_events
 
 
+def test_forward_asof_matches_reversed_backward_semantics(spark):
+    # Forward as-of with tolerance == "earliest candidate in window":
+    # every match must be the min-(ts, event_id) purchase of the same
+    # user in [v.ts, v.ts + 24h], and a NULL match means no candidate
+    # exists — the time-reversal symmetry with the backward as-of,
+    # checked against an independently-built range-join ground truth.
+    got = {
+        r["event_id"]: r["next_purchase_event"]
+        for r in registry.all_queries()["join_asof_forward_tolerance"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ev = t(spark, SF_DIR, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    expected_rows = (
+        views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS")),
+            "left",
+        )
+        .groupBy("v_id")
+        .agg(F.min_by("p_id", F.struct("p_ts", "p_id")).alias("expect"))
+        .collect()
+    )
+    expected = {r["v_id"]: r["expect"] for r in expected_rows}
+    assert got == expected
+
+
+def test_pack_bins_balance_and_conservation(spark):
+    # Round-robin-FFD bin packing: token mass and doc count are
+    # conserved, and the bin imbalance is bounded by one maximal
+    # document (the classic sorted-round-robin bound).
+    bins = registry.all_queries()["pack_sequence_bins"](spark, SF_DIR).collect()
+    sized = t(spark, SF_DIR, "documents").select(
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)
+            )
+        ).alias("n_tokens")
+    )
+    totals = sized.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("tok"),
+        F.max("n_tokens").alias("mx"),
+    ).collect()[0]
+    assert sum(r["n_docs"] for r in bins) == totals["n"]
+    assert sum(r["bin_tokens"] for r in bins) == totals["tok"]
+    loads = [r["bin_tokens"] for r in bins]
+    assert max(loads) - min(loads) <= totals["mx"]
+
+
+def test_rolling_median_constant_series_fixed_point(spark):
+    # Median smoothing of a constant series is the identity: running the
+    # operator's mid-of-3 formulation over a constant value column must
+    # return that constant for every emitted row (and emit exactly the
+    # rows with a full frame).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    const = t(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", F.lit(7.25).alias("value")
+    )
+    lagged = const.select(
+        "user_id", "event_id", "value",
+        F.lag("value", 1).over(w).alias("l1"),
+        F.lag("value", 2).over(w).alias("l2"),
+    )
+    mid = F.element_at(F.array_sort(F.array("value", "l1", "l2")), 2)
+    out = lagged.where(F.col("l2").isNotNull()).select(mid.alias("m"))
+    n_users_3plus = (
+        const.groupBy("user_id").count().where(F.col("count") >= 3)
+        .selectExpr("sum(count - 2) AS n").collect()[0]["n"]
+    )
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("m").alias("mn"),
+        F.max("m").alias("mx"),
+    ).collect()[0]
+    assert stats["n"] == (n_users_3plus or 0)
+    assert stats["mn"] == stats["mx"] == 7.25
+
+
 def test_contamination_subset_of_other_sources(spark):
     # Contaminated docs are a subset of non-benchmark docs per source.
     rows = registry.all_queries()["contamination_ngram_overlap"](
