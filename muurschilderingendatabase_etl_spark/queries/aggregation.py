@@ -293,3 +293,42 @@ def agg_hll_rolling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "agg_two_stage_salted",
+    oracle="""
+    SELECT l_returnflag,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_two_stage_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation: l_returnflag has only 3 values,
+    so a direct groupBy funnels the whole table through 3 reducers. A
+    salt key (pmod of a uniform column, 64 buckets) spreads the partial
+    aggregation across 3*64 groups; the final stage re-aggregates the
+    192 partial rows. At 100 TB this bounds any single reducer's input
+    to ~1/64 of a flag's rows; the partial counts/sums are algebraic so
+    the result is exactly the plain groupBy (the oracle runs the
+    unsalted query). Spark's own map-side combine gives much of this
+    for free — explicit salting is the portable version of the pattern
+    and the shape AQE's skew handling generalizes."""
+    li = t(spark, sf_dir, "lineitem")
+    partial = (
+        li.select(
+            "l_returnflag",
+            F.pmod(F.col("l_orderkey"), F.lit(64)).alias("salt"),
+            "l_extendedprice",
+        )
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("l_extendedprice").alias("prev"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("prev"), 2).alias("revenue"),
+    )

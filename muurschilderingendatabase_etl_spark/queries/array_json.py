@@ -190,3 +190,41 @@ def array_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "array_hof_vector_norm",
+    oracle="""
+    SELECT vec_id,
+      CAST(len(embedding) AS INT) AS dim,
+      ROUND(sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+      ROUND(CAST(embedding[1] AS DOUBLE)
+            / sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+        AS first_unit
+    FROM embeddings
+    """,
+)
+def array_hof_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the embedding column: a lambda
+    fold (``aggregate``) computes the L2 norm and ``element_at`` /
+    arithmetic derive the first unit-normalized component — all inside
+    codegen, no explode, no Python. The fold visits elements in array
+    order on both engines, so the double sums are bitwise comparable
+    before rounding."""
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(sq)
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(norm, 4).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double") / norm, 6).alias(
+            "first_unit"
+        ),
+    )

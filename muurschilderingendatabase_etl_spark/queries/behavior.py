@@ -1,0 +1,120 @@
+"""Behavioral / event-sequence analytics over the events stream table:
+conversion funnels and weekly retention cohorts.
+
+Both are two-level aggregations (per-user reduction first, then the
+small report aggregation). The per-user stage is the only real shuffle
+and it partitions on user_id — the natural high-cardinality key, so the
+plan scales linearly with users and is skew-free unless one user owns a
+pathological share of events (the AQE skew-join/agg split handles that
+case, asserted elsewhere in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.tables import t
+
+
+@query(
+    "funnel_signup_purchase",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_type,
+        MIN(CASE WHEN event_type = 'signup' THEN ts END)
+          OVER (PARTITION BY user_id) AS s_ts
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, MIN(s_ts) AS s_ts,
+        MIN(CASE WHEN event_type = 'purchase' AND ts > s_ts THEN ts END)
+          AS p_ts
+      FROM w WHERE s_ts IS NOT NULL GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+      CAST(COUNT(p_ts) AS BIGINT) AS n_converted,
+      ROUND(CAST(COUNT(p_ts) AS DOUBLE) / COUNT(*), 4) AS conversion_rate,
+      ROUND(AVG((epoch_us(p_ts) - epoch_us(s_ts)) / 3600000000.0), 2)
+        AS avg_hours_to_convert
+    FROM u
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage funnel: users whose first purchase strictly follows
+    their first signup. The signup anchor is distributed to the user's
+    other rows with a partition-only window (no ORDER BY — one shuffle,
+    no sort), then a per-user aggregate collapses to (first signup,
+    first qualifying purchase), and a single global row reports
+    conversion rate and mean hours-to-convert."""
+    ev = t(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id")
+    w = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).over(uw).alias("s_ts"),
+    ).where(F.col("s_ts").isNotNull())
+    u = w.groupBy("user_id").agg(
+        F.min("s_ts").alias("s_ts"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("s_ts")),
+                F.col("ts"),
+            )
+        ).alias("p_ts"),
+    )
+    hours = (
+        F.unix_micros("p_ts") - F.unix_micros("s_ts")
+    ) / 3_600_000_000.0
+    return u.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.count("p_ts").alias("n_converted"),
+        F.round(
+            F.count("p_ts").cast("double") / F.count(F.lit(1)), 4
+        ).alias("conversion_rate"),
+        F.round(F.avg(hours), 2).alias("avg_hours_to_convert"),
+    )
+
+
+@query(
+    "retention_weekly_cohorts",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    c AS (
+      SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id
+    )
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+      CAST(date_diff('day', c.cohort, e.wk) / 7 AS INT) AS week_offset,
+      CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM e JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: cohort = ISO week of a user's first
+    event; each (cohort, week-offset) cell counts distinct users active
+    that week. The cohort frame is user_id-keyed and tiny relative to
+    the fact table, so the join back is broadcastable at any events
+    scale where users << events."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -1,0 +1,142 @@
+"""Statistical profiling operators: sample moments / correlation,
+equal-width histograms, and exact interpolated percentiles.
+
+These are the data-profiling passes run over a corpus or fact table
+before modeling decisions (feature scaling, outlier bounds, skew
+detection). All are single-aggregation plans — partial (map-side)
+aggregation does the heavy lifting, so the shuffle carries one row per
+(group, grid cell), never raw data; that is the property that holds at
+100 TB.
+
+Determinism note vs the DuckDB oracle: only ANSI aggregates with fixed
+definitions are used (corr / covar_samp / stddev_samp / var_samp /
+percentile-continuous); results are rounded in-query on BOTH sides so
+summation-order noise cannot flip the driver's value hash.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.tables import t
+
+N_BINS = 10
+
+
+@query(
+    "stats_corr_moments",
+    oracle="""
+    SELECT l_returnflag,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+      ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+      ROUND(stddev_samp(l_quantity), 4) AS qty_stddev,
+      ROUND(var_samp(l_quantity), 4) AS qty_var,
+      ROUND(AVG(l_quantity), 4) AS qty_mean
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group second-moment profile: Pearson correlation, sample
+    covariance/variance/stddev, mean. One hash aggregation; every
+    statistic is an algebraic aggregate (mergeable partial states), so
+    the plan map-side-combines and the exchange carries 3 rows."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.avg("l_quantity"), 4).alias("qty_mean"),
+    )
+
+
+@query(
+    "stats_histogram_bins",
+    oracle=f"""
+    WITH mm AS (
+      SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+    ),
+    b AS (
+      SELECT CAST(least(floor(((o_totalprice - mn) / (mx - mn)) * {N_BINS}.0),
+                        {N_BINS - 1}) AS BIGINT) AS bin,
+             mn, mx
+      FROM orders, mm
+    )
+    SELECT bin,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      ROUND(mn + bin * ((mx - mn) / {N_BINS}.0), 2) AS bin_lo,
+      ROUND(mn + (bin + 1) * ((mx - mn) / {N_BINS}.0), 2) AS bin_hi
+    FROM b GROUP BY bin, mn, mx
+    """,
+)
+def stats_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order totals: global min/max from a
+    first aggregation, broadcast back as a 1-row frame, then a
+    bin-assignment projection + count. Two scans but zero wide
+    shuffles — the per-bin counts partial-aggregate map-side. The bin
+    arithmetic is written identically on both engines so edge values
+    fall in the same bin."""
+    orders = t(spark, sf_dir, "orders")
+    mm = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    span = (F.col("o_totalprice") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    bin_ = F.least(
+        F.floor(span * float(N_BINS)), F.lit(N_BINS - 1)
+    ).cast("long")
+    width = (F.col("mx") - F.col("mn")) / float(N_BINS)
+    return (
+        orders.crossJoin(F.broadcast(mm))
+        .select(bin_.alias("bin"), "mn", "mx")
+        .groupBy("bin", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("mn") + F.col("bin") * width, 2).alias("bin_lo"),
+            F.round(F.col("mn") + (F.col("bin") + 1) * width, 2).alias(
+                "bin_hi"
+            ),
+        )
+    )
+
+
+@query(
+    "stats_percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+      ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+      ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+      ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+      ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (the ANSI
+    PERCENTILE_CONT definition, identical in Spark's `percentile` and
+    DuckDB's `quantile_cont`). Exact percentiles buffer each group's
+    values — fine for 3 groups; the documented 100 TB lever is
+    `approx_percentile(col, p, accuracy)` (t-digest-style mergeable
+    sketch, already used by `window_ntile_buckets`'s scale note)."""
+    li = t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0], 2).alias("p25"),
+            F.round(F.col("ps")[1], 2).alias("p50"),
+            F.round(F.col("ps")[2], 2).alias("p75"),
+            F.round(F.col("ps")[3], 2).alias("p95"),
+        )
+    )

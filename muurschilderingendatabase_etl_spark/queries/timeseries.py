@@ -102,3 +102,51 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v_filled").alias("n_filled"),
         F.round(F.sum("v_filled"), 2).alias("filled_sum"),
     )
+
+
+@query(
+    "scd2_from_changelog",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, value, event_id FROM events
+      WHERE event_type = 'purchase' AND user_id % 50 = 0
+    )
+    SELECT user_id,
+      CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      COALESCE(strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
+               '9999-12-31 00:00:00') AS valid_to,
+      CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+      ROUND(value, 2) AS value
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_from_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a changelog: each user's
+    purchase history becomes versioned rows with [valid_from, valid_to)
+    ranges — valid_to is the NEXT change's timestamp (lead), the open
+    version gets a sentinel end date and is_current=1. One window over
+    (user_id ORDER BY ts, event_id); at 100 TB the partition key is the
+    dimension's natural key, so state per partition is one entity's
+    history — bounded and skew-free. The user_id % 50 predicate stands
+    in for the incremental-batch filter a production merge would push
+    down to the changelog scan."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        t(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("user_id") % 50 == 0))
+        .select("user_id", "ts", "value", "event_id")
+    )
+    nxt = F.lead("ts").over(w)
+    return ch.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        F.round("value", 2).alias("value"),
+    )
