@@ -122,3 +122,52 @@ def chunk_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.round(F.avg(chunk_len), 4).alias("avg_chunk_words"),
     )
+
+
+QUOTA = 15  # max docs kept per source
+
+
+@query(
+    "sample_per_source_quota",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY md5(text), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_kept,
+      CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+      CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM r WHERE rk <= {QUOTA} GROUP BY source
+    """,
+)
+def sample_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: cap each source at QUOTA documents,
+    chosen by md5(text) rank — a deterministic, content-keyed stand-in
+    for uniform sampling that re-runs identically on backfills (the same
+    reason the split operator avoids random()). One window shuffle on
+    the source key; a skewed mega-domain is exactly the case the quota
+    exists to clip, and rank-then-filter discards its tail early."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("text").cast("binary")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= QUOTA)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

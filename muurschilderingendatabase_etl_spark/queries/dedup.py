@@ -750,3 +750,87 @@ def pack_sequence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+SPAN_N = 4  # words per span; tuned to the fixture vocabulary (~30 words)
+# so duplicate spans actually occur — the production value is 10-13
+# (C4 removes 3-sentence spans; Gopher/MassiveText uses 13-grams).
+
+
+@query(
+    "dedup_shared_ngram_spans",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS nw
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, source, w,
+        unnest(generate_series(0, nw - {SPAN_N})) AS i
+      FROM d WHERE nw >= {SPAN_N}
+    ),
+    g AS (
+      SELECT doc_id,
+        array_to_string(list_slice(w, i + 1, i + {SPAN_N}), ' ') AS gram
+      FROM e
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM g WHERE gram IN (SELECT gram FROM dup)
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_flagged
+    FROM documents LEFT JOIN flagged f USING (doc_id)
+    GROUP BY source
+    """,
+)
+def dedup_shared_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate detection (the C4 / MassiveText shape):
+    flag any document that shares an exact word-N-gram with a DIFFERENT
+    document. Explode each doc into its spans where the data lives,
+    find spans with >1 distinct owner (one partial-aggregating
+    groupBy), and semi-join the owners back. At 100 TB the gram column
+    is a 64-bit xxhash instead of the literal words (the oracle needs
+    the literal string; the hash halves the exchange) and the
+    gram->docs index is the same frame a span-REMOVAL pass would use to
+    cut the span out of all-but-one owner."""
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    d = docs.select(
+        "doc_id", w.alias("w"), F.size(w).alias("nw")
+    ).where(F.col("nw") >= SPAN_N)
+    g = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("nw") - SPAN_N)).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.col("w"), F.col("i") + 1, SPAN_N), " "
+        ).alias("gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gram")
+    )
+    flagged = (
+        g.join(dup, "gram", "left_semi").select("doc_id").distinct()
+        .withColumn("is_flagged", F.lit(1))
+    )
+    return (
+        docs.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.coalesce(F.col("is_flagged"), F.lit(0)).cast("long")
+            ).alias("n_flagged"),
+        )
+    )

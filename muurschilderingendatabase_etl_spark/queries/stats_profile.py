@@ -140,3 +140,56 @@ def stats_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ps")[3], 2).alias("p95"),
         )
     )
+
+
+@query(
+    "profile_expectations",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS custkey_nulls,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+      CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+      MIN(o_orderstatus) AS status_min,
+      MAX(o_orderstatus) AS status_max,
+      ROUND(MIN(o_totalprice), 2) AS price_min,
+      ROUND(MAX(o_totalprice), 2) AS price_max,
+      CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS price_nonpositive,
+      CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                      OR o_orderdate >= TIMESTAMP '2026-01-01'
+               THEN 1 ELSE 0 END) AS BIGINT) AS orderdate_out_of_range
+    FROM orders
+    """,
+)
+def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-validation expectations in one scan: null counts, distinct
+    cardinalities, min/max bounds, and violation counters (non-positive
+    price, out-of-range date) — the checks a pipeline gate asserts
+    before promoting a batch. Everything is an algebraic aggregate over
+    a single pass, so the cost at 100 TB is the scan itself; in
+    production the same expressions ride an ``observe`` on the main job
+    instead of a separate query."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("custkey_nulls"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.min("o_orderstatus").alias("status_min"),
+        F.max("o_orderstatus").alias("status_max"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias(
+            "price_nonpositive"
+        ),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2026-01-01").cast("timestamp")
+                )
+            ).cast("long")
+        ).alias("orderdate_out_of_range"),
+    )
