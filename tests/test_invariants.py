@@ -205,3 +205,44 @@ def test_contamination_subset_of_other_sources(spark):
     for r in rows:
         assert r["source"] != "src0"
         assert 0 < r["n_contaminated_docs"] <= per_source[r["source"]]
+
+
+def test_quota_sample_respects_cap(spark):
+    from muurschilderingendatabase_etl_spark.queries.chunking_splits import (
+        QUOTA,
+        sample_per_source_quota,
+    )
+
+    rows = sample_per_source_quota(spark, SF_DIR).collect()
+    assert rows, "quota sample returned no sources"
+    assert all(r.n_kept <= QUOTA for r in rows)
+
+
+def test_split_partitions_corpus(spark):
+    """train/valid/test must partition the corpus: split doc counts sum
+    to the table count, and re-running yields the identical assignment
+    (determinism is the operator's contract)."""
+    from muurschilderingendatabase_etl_spark.queries.chunking_splits import (
+        split_train_valid_test,
+    )
+    from muurschilderingendatabase_etl_spark.tables import t
+
+    one = {r.split: r.n_docs for r in split_train_valid_test(spark, SF_DIR).collect()}
+    two = {r.split: r.n_docs for r in split_train_valid_test(spark, SF_DIR).collect()}
+    assert one == two
+    assert sum(one.values()) == t(spark, SF_DIR, "documents").count()
+
+
+def test_chunking_covers_every_doc(spark):
+    """Every document yields at least one chunk; chunk words never
+    exceed the window width."""
+    from muurschilderingendatabase_etl_spark.queries.chunking_splits import (
+        CHUNK_W,
+        chunk_fixed_windows,
+    )
+    from muurschilderingendatabase_etl_spark.tables import t
+
+    rows = chunk_fixed_windows(spark, SF_DIR).collect()
+    n_docs = t(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.avg_chunk_words <= CHUNK_W for r in rows)

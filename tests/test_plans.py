@@ -328,3 +328,28 @@ def test_hll_rolling_uniques_tracks_exact(spark):
             .count()
         )
         assert abs(est[day] - exact) / max(exact, 1) < 0.05, (day, est[day], exact)
+
+
+def test_salted_agg_is_two_stage(spark):
+    """agg_two_stage_salted must actually aggregate twice: a partial
+    stage keyed on (flag, salt) and a final stage keyed on flag — four
+    HashAggregates total (partial+final per stage), with the salt
+    expression feeding the first exchange."""
+    p = _plan(spark, "agg_two_stage_salted")
+    assert len(re.findall(r"HashAggregate", p)) >= 4
+    assert "pmod" in p
+
+
+def test_histogram_minmax_broadcasts(spark):
+    """The 1-row min/max frame joins back via broadcast, never a
+    shuffled cross join."""
+    p = _plan(spark, "stats_histogram_bins")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_span_dedup_semi_join(spark):
+    """Shared-span flagging uses a semi join back from the >1-owner
+    gram set (never materializes gram x doc pairs twice)."""
+    p = _plan(spark, "dedup_shared_ngram_spans")
+    assert "LeftSemi" in p
