@@ -118,3 +118,52 @@ def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "anomaly_zscore_gate",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CASE WHEN abs(e.value - s.mu) > 3 * s.sd THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_outliers,
+      ROUND(s.mu, 4) AS mean_value,
+      ROUND(s.sd, 4) AS stddev_value
+    FROM events e JOIN s USING (event_type)
+    GROUP BY e.event_type, s.mu, s.sd
+    """,
+)
+def anomaly_zscore_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-sigma outlier gate per event type: a first aggregation
+    derives (mean, stddev) per type — a handful of rows, broadcast back
+    onto the fact scan — and a second counts values beyond 3 sigma. The
+    monitoring-pipeline shape: two scans, no wide shuffle; the stats
+    frame stays broadcastable no matter how large events grows because
+    its cardinality is the type dimension, not the fact table."""
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .groupBy("event_type", "mu", "sd")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_outliers",
+            F.round("mu", 4).alias("mean_value"),
+            F.round("sd", 4).alias("stddev_value"),
+        )
+    )
