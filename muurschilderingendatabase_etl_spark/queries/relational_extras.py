@@ -330,3 +330,52 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("priority_digit"),
         )
     )
+
+
+@query(
+    "skyline_pareto_frontier",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_size,
+           ROUND(p.p_retailprice, 2) AS p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier per brand: parts not dominated by any
+    same-brand part that is both cheaper-or-equal and larger-or-equal
+    (strictly better in at least one dimension). Expressed as a theta
+    ANTI join — the dominance predicate is pure inequality, so Spark
+    plans a blocked nested-loop anti join; the brand equi-key keeps each
+    comparison block bounded (the standard skyline blocking trick: at
+    100 TB you first prune with a coarse grid/quantile pass so only
+    per-cell local frontiers reach the quadratic check)."""
+    p = t(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_size", "p_retailprice"
+    )
+    q = p.select(
+        F.col("p_brand").alias("q_brand"),
+        F.col("p_size").alias("q_size"),
+        F.col("p_retailprice").alias("q_price"),
+    )
+    dominated = (
+        (F.col("q_brand") == F.col("p_brand"))
+        & (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") >= F.col("p_size"))
+        & (
+            (F.col("q_price") < F.col("p_retailprice"))
+            | (F.col("q_size") > F.col("p_size"))
+        )
+    )
+    return p.join(q, dominated, "left_anti").select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.round("p_retailprice", 2).alias("p_retailprice"),
+    )

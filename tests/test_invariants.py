@@ -246,3 +246,19 @@ def test_chunking_covers_every_doc(spark):
     n_docs = t(spark, SF_DIR, "documents").count()
     assert sum(r.n_docs for r in rows) == n_docs
     assert all(r.avg_chunk_words <= CHUNK_W for r in rows)
+
+
+def test_pagerank_mass_conservation(spark):
+    """Ranks are a probability distribution: they sum to 1 (damping +
+    teleport conserve mass on a graph with no dangling nodes), and
+    every node's rank is at least the teleport floor."""
+    from muurschilderingendatabase_etl_spark.queries.graph import (
+        DAMPING,
+        graph_pagerank_fixed,
+    )
+
+    rows = graph_pagerank_fixed(spark, SF_DIR).collect()
+    total = sum(r.pr for r in rows)
+    assert abs(total - 1.0) < 1e-3, f"rank mass drifted: {total}"
+    floor = (1 - DAMPING) / len(rows)
+    assert all(r.pr >= floor - 1e-12 for r in rows)

@@ -353,3 +353,10 @@ def test_span_dedup_semi_join(spark):
     gram set (never materializes gram x doc pairs twice)."""
     p = _plan(spark, "dedup_shared_ngram_spans")
     assert "LeftSemi" in p
+
+
+def test_pagerank_broadcasts_ranks(spark):
+    """Each PageRank iteration must broadcast the node-cardinality rank
+    table — the cached edge table is never re-shuffled for the join."""
+    p = _plan(spark, "graph_pagerank_fixed")
+    assert "BroadcastHashJoin" in p
