@@ -112,12 +112,17 @@ def stats_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_percentiles_exact",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
     SELECT l_returnflag,
-      ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-      ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-      ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-      ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
-    FROM lineitem GROUP BY l_returnflag
+      quantile_cont(cents, 0.25)  / 100.0 AS p25,
+      quantile_cont(cents, 0.50)  / 100.0 AS p50,
+      quantile_cont(cents, 0.75)  / 100.0 AS p75,
+      quantile_cont(cents, 0.875) / 100.0 AS p875
+    FROM c GROUP BY l_returnflag
     """,
 )
 def stats_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,18 +131,34 @@ def stats_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's `quantile_cont`). Exact percentiles buffer each group's
     values — fine for 3 groups; the documented 100 TB lever is
     `approx_percentile(col, p, accuracy)` (t-digest-style mergeable
-    sketch, already used by `window_ntile_buckets`'s scale note)."""
-    li = t(spark, sf_dir, "lineitem")
-    pct = F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)]))
+    sketch, already used by `window_ntile_buckets`'s scale note).
+
+    Cross-engine determinism: the price is lifted to INTEGER cents and
+    the probed percentiles are dyadic (1/4, 1/2, 3/4, 7/8), so the
+    interpolation position (n-1)*p and the blend a + (b-a)*frac are
+    EXACT in IEEE double no matter how either engine associates the
+    arithmetic — monetary data interpolates onto .xx5 midpoints
+    constantly, and rounding such a half-ulp-divergent double to 2dp
+    was a measured coin flip between engines (caught by the sf0.001
+    parity suite; sf0.01 happened to pass)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    pct = F.percentile(
+        "cents", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.875)])
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(pct.alias("ps"))
         .select(
             "l_returnflag",
-            F.round(F.col("ps")[0], 2).alias("p25"),
-            F.round(F.col("ps")[1], 2).alias("p50"),
-            F.round(F.col("ps")[2], 2).alias("p75"),
-            F.round(F.col("ps")[3], 2).alias("p95"),
+            (F.col("ps")[0] / 100.0).alias("p25"),
+            (F.col("ps")[1] / 100.0).alias("p50"),
+            (F.col("ps")[2] / 100.0).alias("p75"),
+            (F.col("ps")[3] / 100.0).alias("p875"),
         )
     )
 
