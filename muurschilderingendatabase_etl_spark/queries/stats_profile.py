@@ -214,3 +214,70 @@ def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("orderdate_out_of_range"),
     )
+
+
+@query(
+    "stats_chi_square_contingency",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(COUNT(*) AS DOUBLE) AS o_cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT seg, pri, o_cnt,
+        SUM(o_cnt) OVER (PARTITION BY seg) AS row_tot,
+        SUM(o_cnt) OVER (PARTITION BY pri) AS col_tot,
+        SUM(o_cnt) OVER () AS n
+      FROM obs
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_cells,
+      CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT pri) - 1) AS BIGINT)
+        AS dof,
+      ROUND(SUM(pow(o_cnt - row_tot * col_tot / n, 2)
+                / (row_tot * col_tot / n)), 4) AS chi2
+    FROM tot
+    """,
+)
+def stats_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer market segment
+    and order priority: observed cell counts from one join+aggregate,
+    marginals via windows over the tiny 25-cell contingency frame, then
+    the test statistic. All heavy lifting is the first aggregation
+    (partial map-side combine); everything after operates on
+    |segments| x |priorities| rows, so scale cost is one fact-table
+    pass regardless of cardinality of the input."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    obs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("o_cnt"))
+    )
+    tot = obs.select(
+        "seg",
+        "pri",
+        "o_cnt",
+        F.sum("o_cnt").over(Window.partitionBy("seg")).alias("row_tot"),
+        F.sum("o_cnt").over(Window.partitionBy("pri")).alias("col_tot"),
+        F.sum("o_cnt").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    expected = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return tot.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1)
+        ).alias("dof"),
+        F.round(
+            F.sum(F.pow(F.col("o_cnt") - expected, 2) / expected), 4
+        ).alias("chi2"),
+    )
