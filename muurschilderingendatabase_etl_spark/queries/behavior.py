@@ -167,3 +167,66 @@ def anomaly_zscore_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sd", 4).alias("stddev_value"),
         )
     )
+
+
+@query(
+    "sequence_pattern_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+        string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+          AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(SUM(CASE WHEN regexp_matches(seq, 's[^p]*p') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_direct_convert,
+      CAST(SUM(CASE WHEN regexp_matches(seq, 'sv+p') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_browse_convert,
+      CAST(SUM(CASE WHEN regexp_matches(seq, 'e.*e.*e') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_error_prone,
+      ROUND(AVG(length(seq)), 4) AS avg_events_per_user
+    FROM seqs
+    """,
+)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: each user's event history becomes an
+    ordered string of event-type initials (signup->s, view->v,
+    purchase->p, click->c, error->e; ties broken by event_id), and
+    behavioral patterns are regexes over that string — 'signup then
+    purchase with no purchase in between', 'signup, views, then
+    purchase adjacent', 'three errors ever'. One groupBy(user) with an
+    ordered in-group reduction (array_sort on (ts, event_id, initial)
+    structs — collect order never matters), then pure string ops. The
+    per-user string is bounded by that user's event count, the same
+    state bound every sessionization operator here carries."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("init"),
+        ).alias("rec"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("rec")), lambda r: r["init"]
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("seq").rlike("s[^p]*p").cast("long")).alias(
+            "n_direct_convert"
+        ),
+        F.sum(F.col("seq").rlike("sv+p").cast("long")).alias(
+            "n_browse_convert"
+        ),
+        F.sum(F.col("seq").rlike("e.*e.*e").cast("long")).alias(
+            "n_error_prone"
+        ),
+        F.round(F.avg(F.length("seq")), 4).alias("avg_events_per_user"),
+    )
