@@ -262,3 +262,20 @@ def test_pagerank_mass_conservation(spark):
     assert abs(total - 1.0) < 1e-3, f"rank mass drifted: {total}"
     floor = (1 - DAMPING) / len(rows)
     assert all(r.pr >= floor - 1e-12 for r in rows)
+
+
+def test_geo_distance_join_bounds(spark):
+    """Every reported neighbor set respects the radius: nearest_km is
+    within (0, 500] and counts are positive."""
+    from muurschilderingendatabase_etl_spark.queries.geo import (
+        RADIUS_KM,
+        geo_distance_join_grid,
+    )
+
+    rows = geo_distance_join_grid(spark, SF_DIR).collect()
+    assert rows, "no supplier found any customer within 500 km"
+    # nearest_km == 0 is legitimate: the synthetic coordinate scheme
+    # maps equal key values (c_custkey == s_suppkey) to identical
+    # coordinates.
+    assert all(0 <= r.nearest_km <= RADIUS_KM for r in rows)
+    assert all(r.n_within >= 1 for r in rows)

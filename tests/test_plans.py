@@ -360,3 +360,12 @@ def test_pagerank_broadcasts_ranks(spark):
     table — the cached edge table is never re-shuffled for the join."""
     p = _plan(spark, "graph_pagerank_fixed")
     assert "BroadcastHashJoin" in p
+
+
+def test_geo_grid_join_no_cartesian(spark):
+    """The 500 km distance join must run as an equi-join on grid cells
+    (broadcast or shuffled hash), never a cartesian/BNLJ over the full
+    supplier x customer space."""
+    p = _plan(spark, "geo_distance_join_grid")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
