@@ -359,3 +359,68 @@ def sink_sorted_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_orderkey").alias("min_key"),
         )
     )
+
+
+@query(
+    "sink_zorder_2d_skipping",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 600
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    """,
+)
+def sink_zorder_2d_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering: interleave the bits of
+    (o_custkey, days-since-epoch) into one sort key, range-partition and
+    sort the write on it, and row groups acquire tight min/max envelopes
+    in BOTH dimensions at once — a filter on customer OR date (or both,
+    as here) prunes via footer stats, where a plain sort only serves its
+    leading column. This is the layout trick behind Delta/Iceberg
+    Z-ordering, built from nothing but shifts, masks, and a sorted
+    write; the re-read is oracle-checked, proving layout never changes
+    results. At 100 TB: pick the 2-4 most-filtered columns, normalize
+    each to ~16 bits (rank or epoch-day), interleave, sort-write."""
+    import functools
+    import operator
+
+    tmp = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_zorder_"))
+    ck = F.col("o_custkey").cast("long")
+    dy = F.datediff(
+        "o_orderdate", F.lit("1992-01-01").cast("date")
+    ).cast("long")
+    z = functools.reduce(
+        operator.add,
+        [
+            F.shiftleft(F.shiftright(ck, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(dy, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+            for i in range(16)
+        ],
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice", z.alias("zv"))
+        .repartitionByRange(8, "zv")
+        .sortWithinPartitions("zv")
+        .drop("zv")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    return (
+        spark.read.parquet(tmp)
+        .where(
+            F.col("o_custkey").between(100, 600)
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
