@@ -424,3 +424,41 @@ def sink_zorder_2d_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_custs"),
         )
     )
+
+
+@query(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance operator every
+    long-lived lake needs: a fragmented write (64 files, the steady
+    state of frequent micro-batch appends) is rewritten into a few
+    right-sized files via a narrow coalesce (no shuffle, files merge
+    in place), and the compacted copy must return byte-identical
+    results — the oracle is the plain aggregate over the original
+    table. At 100 TB this runs per-partition with a target of
+    128 MB-1 GB per file (`maxRecordsPerFile` / AQE advisory size);
+    the file-count collapse is asserted in tests/test_invariants.py."""
+    frag = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_frag_"))
+    compact = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_compact_"))
+    docs = t(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    (
+        spark.read.parquet(frag)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    return (
+        spark.read.parquet(compact)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
