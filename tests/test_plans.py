@@ -369,3 +369,19 @@ def test_geo_grid_join_no_cartesian(spark):
     p = _plan(spark, "geo_distance_join_grid")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_heavy_hitters_candidates_broadcast(spark):
+    """Pass 2 must semi-join the word stream against BROADCAST
+    candidates (bounded by K per partition) — a shuffled join here
+    would defeat the bounded-memory design."""
+    p = _plan(spark, "heavy_hitters_two_pass")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_zorder_reread_pushes_both_filters(spark):
+    """The z-order re-read must push BOTH filter dimensions to the
+    parquet scan (customer range and date range)."""
+    p = _plan(spark, "sink_zorder_2d_skipping")
+    assert "GreaterThanOrEqual(o_custkey,100)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
