@@ -230,3 +230,47 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg(F.length("seq")), 4).alias("avg_events_per_user"),
     )
+
+
+@query(
+    "debounce_events",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+        epoch_us(ts) - epoch_us(LAG(ts) OVER (
+          PARTITION BY user_id, event_type ORDER BY ts, event_id))
+          AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 600000000
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 600000000
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+    FROM g GROUP BY event_type
+    """,
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / bounce-filter: an event is suppressed when the SAME
+    (user, type) fired within the preceding 10 minutes — the classic
+    duplicate-click / retry-storm cleaner in front of a metrics
+    pipeline. One lag window per (user, type); the gap compares in
+    exact integer microseconds (never float seconds — the same rule
+    join_interval_bucketed and the sessionizer follow), so the
+    10-minute boundary can't flip between engines. The batch twin of
+    streaming's dropDuplicatesWithinWatermark, with a full value
+    oracle where the streaming variant is rows-only."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    g = t(spark, sf_dir, "events").select(
+        "event_type", gap.alias("gap_us")
+    )
+    kept = F.col("gap_us").isNull() | (F.col("gap_us") > 600_000_000)
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((~kept).cast("long")).alias("n_debounced"),
+    )

@@ -150,3 +150,45 @@ def scd2_from_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
         F.round("value", 2).alias("value"),
     )
+
+
+@query(
+    "trend_week_over_week",
+    oracle="""
+    WITH wk AS (
+      SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+             ROUND(SUM(o_totalprice), 2) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT week, revenue, n_orders,
+      ROUND((revenue - LAG(revenue) OVER (ORDER BY week))
+            / LAG(revenue) OVER (ORDER BY week), 6) AS wow_growth
+    FROM wk
+    """,
+)
+def trend_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue trend: weekly rollup, then a lag window
+    for the growth ratio. The ratio divides the ALREADY-2dp-ROUNDED
+    weekly revenues (identical doubles on both engines), so the 6dp
+    growth figure is deterministic. The global orderBy window runs
+    over one row per week — thousands of rows at any fact scale."""
+    wk = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd")
+            .alias("week")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return wk.select(
+        "week",
+        "revenue",
+        "n_orders",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("wow_growth"),
+    )
