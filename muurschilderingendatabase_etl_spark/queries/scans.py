@@ -462,3 +462,48 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1998)
+    GROUP BY 1
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact table is laid out
+    Hive-partitioned by year, and the filter arrives through a JOIN to
+    a small year dimension rather than as a literal predicate — the
+    case static pruning can't see. Spark injects a runtime subquery
+    (`dynamicpruningexpression` in the scan's PartitionFilters,
+    asserted in tests/test_plans.py) that executes the dim side first
+    and prunes fact partitions (2 of 7 years here) before the scan. At 100 TB this is THE
+    mechanism that keeps star-schema joins from reading every
+    partition when the filter lives on the dimension."""
+    tmp = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_dpp_"))
+    (
+        t(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    fact = spark.read.parquet(tmp)
+    dim = (
+        spark.range(1992, 2005)
+        .select(F.col("id").cast("int").alias("d_year"))
+        .where(F.col("d_year").isin(1996, 1998))
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_year == dim.d_year)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

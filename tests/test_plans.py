@@ -385,3 +385,11 @@ def test_zorder_reread_pushes_both_filters(spark):
     p = _plan(spark, "sink_zorder_2d_skipping")
     assert "GreaterThanOrEqual(o_custkey,100)" in p
     assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_dynamic_partition_pruning_injected(spark):
+    """The year-dim join over the partitioned fact layout must inject a
+    runtime partition filter (DPP) — without it every partition is
+    scanned even though the dim filters to 2 of 7 years."""
+    p = _plan(spark, "join_dynamic_partition_pruning")
+    assert "dynamicpruning" in p.lower()
