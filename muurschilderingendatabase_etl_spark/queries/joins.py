@@ -480,3 +480,58 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH s AS (
+      SELECT event_id AS s_id, user_id,
+             ts AS s_lo, ts + INTERVAL 30 MINUTE AS s_hi
+      FROM events WHERE event_type = 'signup'
+    ),
+    v AS (
+      SELECT event_id AS v_id, user_id,
+             ts AS v_lo, ts + INTERVAL 45 MINUTE AS v_hi
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(COUNT(DISTINCT s_id) AS BIGINT) AS n_signup_windows,
+           CAST(MIN(s_id) AS BIGINT) AS min_s_id
+    FROM s JOIN v USING (user_id)
+    WHERE s_lo < v_hi AND v_lo < s_hi
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (interval x interval — the sibling of
+    join_interval_bucketed's point-in-interval): signup windows
+    [ts, ts+30m] against view windows [ts, ts+45m] of the same user,
+    pairs whose ranges intersect. The classic predicate
+    (a_lo < b_hi AND b_lo < a_hi) is a non-equi condition Spark would
+    nest-loop; the user_id equi-key bounds each comparison block, and
+    at 100 TB the standard rewrite adds a coarse time-bucket to the
+    key with each interval exploded to the buckets it touches (exactly
+    join_interval_bucketed's machinery, reused for two interval sets).
+    Here the per-user blocks are small, so the equi+filter plan is the
+    right one, and the oracle runs the same bounded quadratic."""
+    ev = t(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"),
+        "user_id",
+        F.col("ts").alias("s_lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_hi"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        "user_id",
+        F.col("ts").alias("v_lo"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("v_hi"),
+    )
+    joined = s.join(v, "user_id").where(
+        (F.col("s_lo") < F.col("v_hi")) & (F.col("v_lo") < F.col("s_hi"))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.countDistinct("s_id").alias("n_signup_windows"),
+        F.min("s_id").alias("min_s_id"),
+    )
