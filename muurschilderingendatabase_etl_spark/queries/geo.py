@@ -14,6 +14,17 @@ exact haversine predicate on the candidates. Cost per point is bounded
 by its 15-cell neighborhood's population, not the table size; the
 DuckDB oracle runs the honest all-pairs quadratic, so the parity check
 proves the blocking loses nothing.
+
+Known tolerance (same class as stats_percentiles_exact): the
+``dist <= 500`` cut and ``ROUND(MIN(dist), 2)`` compare doubles built
+from sin/cos/asin, which JVM Math and DuckDB's libm each guarantee only
+to ~1 ulp. A pair landing within ulps of the 500 km boundary, or a
+rounding midpoint landing on .xx5, could flip parity on future
+fixtures/SFs even though the operator is correct. The affine-mod
+coordinate scheme gives coordinates on a 0.01-degree lattice, which
+keeps distances away from exact midpoints in practice; if a future
+fixture trips this, widen/narrow the radius by 1e-6 km in BOTH engines
+rather than chasing bit-identical trig.
 """
 
 from __future__ import annotations

@@ -25,6 +25,11 @@ from muurschilderingendatabase_etl_spark.registry import query
 from muurschilderingendatabase_etl_spark.tables import t
 
 
+# Output dir of the most recent sink_compact_small_files run in this
+# process — lets tests assert file counts without mtime-glob guessing.
+LAST_COMPACT_DIR: str | None = None
+
+
 def _rm_at_exit(path: str) -> str:
     """Delete a scratch dir when the interpreter exits.
 
@@ -444,8 +449,10 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. At 100 TB this runs per-partition with a target of
     128 MB-1 GB per file (`maxRecordsPerFile` / AQE advisory size);
     the file-count collapse is asserted in tests/test_invariants.py."""
+    global LAST_COMPACT_DIR
     frag = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_frag_"))
     compact = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_compact_"))
+    LAST_COMPACT_DIR = compact  # tests assert file-count on THIS run's dir
     docs = t(spark, sf_dir, "documents")
     docs.repartition(64).write.mode("overwrite").parquet(frag)
     (

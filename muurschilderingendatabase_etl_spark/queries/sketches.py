@@ -3,8 +3,9 @@
 The classic way to find frequent items over data too large to groupBy
 in one shot with bounded reducer memory:
 
-Pass 1 — a Misra-Gries summary per partition (fixed K counters,
-Arrow-batched ``mapInPandas``). MG guarantees any item with partition
+Pass 1 — a Misra-Gries summary per partition (K counters carried
+between Arrow batches; transiently K + batch-distinct during a merge,
+still bounded by the Arrow batch size). MG guarantees any item with partition
 frequency > n_p/(K+1) survives its partition's summary; by averaging,
 any item with GLOBAL frequency > n/(K+1) must exceed the local
 threshold in at least one partition, so the union of survivors is a
@@ -34,22 +35,26 @@ HH_FRAC = 0.03  # report items above 3% of total occurrences
 
 
 def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Misra-Gries over one partition's word stream: K counters max."""
+    """Weighted Misra-Gries over one partition's word stream.
+
+    Vectorized: each Arrow batch is pre-aggregated with ``value_counts``
+    (C speed) and merged into the summary as weighted increments; when
+    the summary exceeds K entries, one batched decrement subtracts
+    delta = the (K+1)-th largest count from every counter and drops the
+    non-positive ones. Each such decrement destroys >= (K+1)*delta of
+    total counted mass (the top K+1 counters each lose a full delta),
+    so sum(delta) <= n_p/(K+1) — the classic MG undercount bound — and
+    any item with partition frequency > n_p/(K+1) still survives.
+    Work per batch is O(U log U) in the number of distinct words,
+    instead of a Python-level O(K) sweep per evicting occurrence.
+    """
     counters: dict[str, int] = {}
     for pdf in batches:
-        for w in pdf["word"]:
-            if w in counters:
-                counters[w] += 1
-            elif len(counters) < MG_K:
-                counters[w] = 1
-            else:
-                dead = []
-                for k in counters:
-                    counters[k] -= 1
-                    if counters[k] == 0:
-                        dead.append(k)
-                for k in dead:
-                    del counters[k]
+        for w, c in pdf["word"].value_counts().items():
+            counters[w] = counters.get(w, 0) + int(c)
+        if len(counters) > MG_K:
+            delta = sorted(counters.values(), reverse=True)[MG_K]
+            counters = {w: c - delta for w, c in counters.items() if c > delta}
     yield pd.DataFrame({"word": list(counters.keys())})
 
 

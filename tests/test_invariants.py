@@ -286,17 +286,12 @@ def test_compaction_collapses_files(spark):
     the row count survives exactly."""
     import glob
 
-    from muurschilderingendatabase_etl_spark.queries.scans import (
-        sink_compact_small_files,
-    )
+    from muurschilderingendatabase_etl_spark.queries import scans
     from muurschilderingendatabase_etl_spark.tables import t
 
-    out = sink_compact_small_files(spark, SF_DIR)
+    out = scans.sink_compact_small_files(spark, SF_DIR)
     total = sum(r.n_docs for r in out.collect())
     assert total == t(spark, SF_DIR, "documents").count()
-    compact_dirs = sorted(
-        glob.glob("/tmp/msdb_compact_*"), key=lambda p: -__import__("os").path.getmtime(p)
-    )
-    assert compact_dirs, "compacted output dir not found"
-    n_files = len(glob.glob(f"{compact_dirs[0]}/part-*.parquet"))
+    assert scans.LAST_COMPACT_DIR, "compacted output dir not recorded"
+    n_files = len(glob.glob(f"{scans.LAST_COMPACT_DIR}/part-*.parquet"))
     assert 0 < n_files <= 4, f"expected <=4 compacted files, found {n_files}"
