@@ -2,20 +2,30 @@
 
 Media payloads are opaque ``binary`` columns with a typed metadata
 struct (mime, size, content hash). The Spark-side plumbing — schema,
-partitioning, Arrow-batched UDF signatures — is real and tested; the
-actual image/audio decoding is STUBBED (decode libraries are not in
-this container) behind a deterministic fake that derives "features"
-from the payload hash, clearly marked below.
+partitioning, Arrow-batched UDF signatures — is real and tested, and so
+is the image decode path: payloads are genuine binary P6 PPM images
+(netpbm, the classic uncompressed RGB container) synthesized
+deterministically per doc, and ``_decode_ppm`` below is a real
+pure-Python/numpy decoder — it tokenizes the whitespace/comment header
+grammar and reads the interleaved RGB raster — so
+``multimodal_feature_extract`` and ``multimodal_resize_plan`` are
+oracle-checked end to end (the oracle recomputes the known pixel
+function in SQL; the Spark side only ever sees the bytes). Formats that
+need codec libraries (JPEG/PNG/audio) would slot into the same
+``mapInPandas`` contract via PIL/librosa — absent from this container,
+which is why the fixture format is PPM.
 
 Scale notes: binary payloads ride in parquet as-is; metadata extraction
-is a projection (no shuffle); feature extraction is `mapInPandas` so
-each Arrow batch crosses the Python boundary once, vectorized.
+is a projection (no shuffle); decode + feature extraction is
+`mapInPandas` so each Arrow batch crosses the Python boundary once,
+and the raster math inside is numpy-vectorized per image.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -65,53 +75,142 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract")  # rows-only: stubbed decoder
-def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column.
+# --- Real PPM (netpbm P6) codec ------------------------------------------
+#
+# Deterministic fixture images: doc_id d gets a (d%13+1) x (d%7+1) RGB
+# raster whose flat byte i equals (d + i) % 256. The generator writes
+# honest P6 bytes (magic, ASCII dims, maxval, raster — plus a comment
+# line, to exercise the header grammar); the decoder knows nothing of
+# the scheme and parses the bytes like any PPM reader would.
 
-    STUB: a real deployment would decode the payload (image/audio) and
-    emit model features; decode libs are absent here, so features are
-    derived deterministically from the payload bytes. The mapInPandas
-    plumbing (schema contract, batch shape, binary transport) is the
-    real thing.
-    """
-    import hashlib
+def _make_ppm(doc_id: int) -> bytes:
+    w, h = doc_id % 13 + 1, doc_id % 7 + 1
+    raster = ((doc_id + np.arange(w * h * 3)) % 256).astype(np.uint8)
+    header = b"P6\n# synthetic fixture\n%d %d\n255\n" % (w, h)
+    return header + raster.tobytes()
 
+
+def _decode_ppm(buf: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a binary P6 PPM: header tokens (whitespace-separated, with
+    `#` comments) then the RGB raster. Returns (width, height, sum_r,
+    sum_g, sum_b) with integer-exact channel sums."""
+    if buf[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM: magic={buf[:2]!r}")
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        vals.append(int(buf[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    px = np.frombuffer(buf, dtype=np.uint8, offset=i, count=w * h * 3)
+    rgb = px.reshape(-1, 3).astype(np.int64)
+    return w, h, int(rgb[:, 0].sum()), int(rgb[:, 1].sum()), int(rgb[:, 2].sum())
+
+
+_PPM_CACHE: dict[str, str] = {}  # sf_dir -> parquet path of the synthesized media table
+
+
+def _ppm_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents keyed to real P6 PPM payloads, materialized ONCE per
+    process as a parquet side table — binary payloads ride in parquet
+    as-is (the multimodal storage convention), so every decode query
+    scans the same binary column a real image-ingest would land instead
+    of re-synthesizing per query (and the decode stage is the only
+    Python crossing in its plan)."""
     import pandas as pd
 
-    # Repartition: single-file fixture scan = one split; spreading rows
-    # lets one Python worker per core process Arrow batches in parallel.
-    media = (
-        _media_table(spark, sf_dir)
-        .select("doc_id", "content")
-        .repartition(spark.sparkContext.defaultParallelism)
+    if sf_dir not in _PPM_CACHE:
+        from muurschilderingendatabase_etl_spark.queries.scans import _rm_at_exit
+        import tempfile
+
+        path = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_ppm_"))
+        docs = t(spark, sf_dir, "documents").select("doc_id")
+
+        def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "content": [_make_ppm(int(d)) for d in pdf["doc_id"]],
+                    }
+                )
+
+        # 8 synth tasks: the fixture images are bytes-sized, so per-task
+        # overhead dominates above this; decode-side parallelism at real
+        # scale comes from parquet splits of the landed table, not from
+        # this one-time fixture write.
+        (
+            docs.repartition(8)
+            .mapInPandas(synth, schema="doc_id long, content binary")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _PPM_CACHE[sf_dir] = path
+    return spark.read.parquet(_PPM_CACHE[sf_dir])
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 13) + 1 AS w, (doc_id % 7) + 1 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+      FROM dims
     )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(SUM((doc_id + 3 * p) % 256) AS BIGINT)     AS sum_r,
+           CAST(SUM((doc_id + 3 * p + 1) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id + 3 * p + 2) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched image decode + feature extraction over the binary
+    column: a REAL pure-Python/numpy P6 PPM decoder parses each payload
+    (header grammar + RGB raster) and emits per-channel pixel sums —
+    integer-exact, so the oracle (which recomputes the fixture's known
+    pixel function in SQL, never touching the bytes) hash-matches with
+    no float tolerance. Swapping `_decode_ppm` for PIL.Image.open is the
+    only change a JPEG/PNG deployment would need."""
+    import pandas as pd
+
+    media = _ppm_media_table(spark, sf_dir)
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            # --- STUB decode: replace with PIL/librosa/etc. in prod ---
-            digests = [hashlib.sha1(b).digest() for b in pdf["content"]]
+            decoded = [_decode_ppm(bytes(b)) for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": [d[0] % 64 + 1 for d in digests],
-                    "height": [d[1] % 64 + 1 for d in digests],
-                    "feature": [
-                        [b / 255.0 for b in d[:8]] for d in digests
-                    ],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "sum_r": [d[2] for d in decoded],
+                    "sum_g": [d[3] for d in decoded],
+                    "sum_b": [d[4] for d in decoded],
                 }
             )
 
-    out = media.mapInPandas(
+    return media.mapInPandas(
         extract,
-        schema="doc_id long, width int, height int, feature array<double>",
+        schema="doc_id long, width int, height int, "
+        "sum_r long, sum_g long, sum_b long",
     )
-    # The array column is real inside the plan (Arrow transport, typed
-    # schema); serialize it at the query boundary because the driver's
-    # pandas canonicalizer cannot sort/hash array-typed cells.
-    return out.select(
-        "doc_id", "width", "height", F.to_json("feature").alias("feature_json")
-    ).orderBy("doc_id")
 
 
 @query(
@@ -155,8 +254,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
       SELECT doc_id,
-             (octet_length(CAST(text AS BLOB)) % 64) + 1 AS in_w,
-             (octet_length(CAST(text AS BLOB)) % 48) + 1 AS in_h
+             (doc_id % 13) + 1 AS in_w,
+             (doc_id % 7) + 1 AS in_h
       FROM documents WHERE doc_id < 200
     )
     SELECT doc_id, CAST(in_w AS INT) AS in_w, CAST(in_h AS INT) AS in_h,
@@ -166,30 +265,26 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing: aspect-preserving fit into a 32x32 box computed
-    in an Arrow-batched mapInPandas pass over the binary column. The
-    DECODE is stubbed (source dimensions derived deterministically from
-    payload size — no image libs in this container); the resize
-    arithmetic, batch shape, and schema contract are the real thing, so
-    the geometry is oracle-checked."""
+    """Resize plumbing: aspect-preserving fit into a 32x32 box. Source
+    dimensions come from REALLY parsing each payload's PPM header
+    (`_decode_ppm` — the oracle instead recomputes the fixture's known
+    dimension function and never sees the bytes); the resize arithmetic
+    runs in the same Arrow batch."""
     import math
 
     import pandas as pd
 
-    media = _media_table(spark, sf_dir).where(F.col("doc_id") < 200).select(
-        "doc_id", "content"
-    )
+    media = _ppm_media_table(spark, sf_dir).where(F.col("doc_id") < 200)
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            # --- STUB decode: real code would read the image header ---
-            sizes = pdf["content"].map(len)
-            in_w = (sizes % 64 + 1).astype("int32")
-            in_h = (sizes % 48 + 1).astype("int32")
+            dims = [_decode_ppm(bytes(b))[:2] for b in pdf["content"]]
+            in_w = pd.Series([d[0] for d in dims], dtype="int32")
+            in_h = pd.Series([d[1] for d in dims], dtype="int32")
             maxwh = pd.concat([in_w, in_h], axis=1).max(axis=1)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": pdf["doc_id"].reset_index(drop=True),
                     "in_w": in_w,
                     "in_h": in_h,
                     # floor of (32*w)/m with the SAME operation order as
