@@ -83,7 +83,14 @@ def write(out: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def gen(sf: float, out: str) -> None:
+def gen(sf: float, out: str, skew: float = 0.0) -> None:
+    """Generate all ten tables at scale ``sf`` into ``out``.
+
+    ``skew`` > 0 makes the fixture deliberately hot-keyed for stress tests
+    (VERDICT r3 item 4): that fraction of events lands on user_id=0 and that
+    fraction of documents lands on source='src0' — the keys the sessionize
+    window partitions by and the jaccard blocker blocks on.
+    """
     os.makedirs(out, exist_ok=True)
     n = counts(sf)
 
@@ -169,10 +176,13 @@ def gen(sf: float, out: str) -> None:
     g = rng("events")
     ne = n["events"]
     ts = np.sort(g.integers(0, 30 * DAY_US, ne)) + EPOCH_2024
+    uid = g.integers(0, n["users"], ne)
+    if skew > 0:
+        uid[g.random(ne) < skew] = 0
     write(out, "events", pa.table({
         "event_id": pa.array(range(ne), pa.int64()),
         "ts": pa.array(ts, pa.timestamp("us")),
-        "user_id": pa.array(g.integers(0, n["users"], ne), pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
         "event_type": EVENT_TYPES[g.integers(0, 5, ne)],
         "value": np.round(np.minimum(g.exponential(50.0, ne), 599.99), 2),
         "props": pa.array([f'{{"k": {k}}}' for k in g.integers(0, 100, ne)]),
@@ -188,11 +198,14 @@ def gen(sf: float, out: str) -> None:
     for i in np.flatnonzero(g.random(nd) < 0.002):
         if i > 0:
             texts[i] = texts[g.integers(0, i)]
+    src = g.integers(0, 20, nd)
+    if skew > 0:
+        src[g.random(nd) < skew] = 0
     write(out, "documents", pa.table({
         "doc_id": pa.array(range(nd), pa.int64()),
         "text": texts,
         "lang": LANGS[g.choice(len(LANGS), nd, p=LANG_P)],
-        "source": pa.array([f"src{s}" for s in g.integers(0, 20, nd)]),
+        "source": pa.array([f"src{s}" for s in src]),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
 
@@ -211,9 +224,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--skew", type=float, default=0.0)
     a = ap.parse_args()
-    print(f"generating sf{a.sf} -> {a.out}")
-    gen(a.sf, a.out)
+    print(f"generating sf{a.sf} (skew={a.skew}) -> {a.out}")
+    gen(a.sf, a.out, skew=a.skew)
 
 
 if __name__ == "__main__":
