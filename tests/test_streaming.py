@@ -6,7 +6,11 @@ batch engine, closing the triangle."""
 
 from __future__ import annotations
 
+import os
+import time
+
 import pyspark.sql.functions as F
+import pytest
 
 from muurschilderingendatabase_etl_spark.queries.streaming_windows import (
     stream_session_window,
@@ -58,3 +62,59 @@ def test_session_batch_equivalence(spark):
         )
     )
     assert _sorted_rows(streamed) == _sorted_rows(batch)
+
+
+# ---------------------------------------------------------------------------
+# Opt-in real-time soak (VERDICT r3 item 5). Everything else in the streaming
+# suite replays with availableNow (deterministic, oracle-checkable); this one
+# runs the rate source under a processingTime trigger for ~30 s and asserts
+# the watermark actually EVICTS state — numRowsTotal plateaus instead of
+# growing with wall-clock. Skipped unless STREAM_SOAK=1 (slow, timing-based).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    os.environ.get("STREAM_SOAK") != "1",
+    reason="opt-in soak: set STREAM_SOAK=1 (runs ~35 s of wall-clock)",
+)
+def test_processing_time_soak_bounded_state(spark, tmp_path):
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 5000)
+        .option("numPartitions", 2)
+        .load()
+    )
+    evs = src.withColumn("user_id", F.pmod(F.col("value"), F.lit(100)))
+    agg = (
+        evs.withWatermark("timestamp", "5 seconds")
+        .groupBy(F.window("timestamp", "2 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("noop")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "soak_ckpt"))
+        .start()
+    )
+    samples = []
+    try:
+        deadline = time.time() + 32
+        while time.time() < deadline:
+            time.sleep(2)
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                samples.append(p["stateOperators"][0]["numRowsTotal"])
+        assert q.exception() is None, q.exception()
+    finally:
+        q.stop()
+    assert len(samples) >= 8, f"too few progress samples: {samples}"
+    # Steady state: 100 users x (5 s watermark + 2 s window) / 2 s windows
+    # ~= 400 live rows. A leak would grow ~100 rows per 2 s sample; after
+    # 30 s an unbounded store would hold >1500. Allow generous slack for
+    # trigger jitter but fail on linear growth.
+    assert max(samples[-3:]) <= 1200, f"state store grew unbounded: {samples}"
+    early = max(samples[: len(samples) // 2])
+    assert max(samples[-3:]) <= early + 400, (
+        f"state still growing in second half of soak: {samples}"
+    )
