@@ -7,7 +7,9 @@ builds) and compare against the DuckDB oracle the way the driver does
 Also flags any query whose OUTPUT schema contains array/map/struct
 columns — those crash the driver's pandas canonicalizer (VERDICT r1).
 
-Usage: python scripts/driver_mimic.py [sf_dir]    (default sf0.01)
+Usage: python scripts/driver_mimic.py [sf_dir] [name1 name2 ...]
+       (default sf0.01; extra args restrict to the named queries — used by
+       the sf1 scale probe to parity-check the quadratic-risk subset)
 """
 
 from __future__ import annotations
@@ -49,6 +51,12 @@ def main() -> None:
     print("entry rows:", mod.entry(spark).count())
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    only = sys.argv[2:]
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            sys.exit(f"unknown query names: {unknown}")
+        qs = {n: qs[n] for n in only}
     n_pass = n_fail = 0
     failures: list[str] = []
     for name, fn in qs.items():

@@ -4,8 +4,12 @@ detail files (BENCH_DETAIL.json copies, one per run).
 
 Usage: python scripts/refresh_baseline.py run1.json run2.json [...]
 
-Per-query value = MEAN across the given runs (queries present in only
-some runs use the runs they appear in). Rewrites everything below the
+Per-query we report BOTH the across-run MEAN and MEDIAN (queries present
+in only some runs use the runs they appear in). The 2x regression gate is
+judged against the MEDIAN column: with ~+/-30% per-query noise dominated
+by fixed JVM/scheduling overhead, a single contended run drags a mean far
+more than a median, and sub-second queries flip the mean-based gate
+spuriously (VERDICT r3 item 7). Rewrites everything below the
 '## Measured baseline' marker; the preamble (reference facts + bench
 plan) is preserved.
 """
@@ -14,6 +18,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import statistics
 import sys
 
 MARKER = "## Measured baseline"
@@ -24,7 +29,8 @@ def main() -> None:
     if not runs:
         sys.exit("need at least one BENCH_DETAIL.json path")
     names = sorted(set().union(*runs))
-    means = {}
+    means: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for q in names:
         samples = [r[q] for r in runs if q in r and r[q] >= 0]
         if not samples:
@@ -34,7 +40,9 @@ def main() -> None:
             print(f"WARNING: {q} errored in all runs — skipping", file=sys.stderr)
             continue
         means[q] = sum(samples) / len(samples)
-    total = round(sum(means.values()), 3)
+        medians[q] = statistics.median(samples)
+    total_mean = round(sum(means.values()), 3)
+    total_median = round(sum(medians.values()), 3)
     singles = [round(sum(v for v in r.values() if v >= 0), 3) for r in runs]
 
     text = open("BASELINE.md").read()
@@ -47,23 +55,28 @@ def main() -> None:
         "",
         f"Full registered suite ({len(means)} queries), sf0.1, local[32],",
         "`spark.sql.shuffle.partitions=32`, noop sink, one warm-up run.",
-        f"Numbers are the per-query MEAN of {len(runs)} full runs — run-to-run",
+        f"Per-query MEAN and MEDIAN of {len(runs)} full runs — run-to-run",
         "noise on this box is roughly +/-30% per query (fixed JVM/scheduling",
         "overhead dominates the sub-second entries; a contended run skews the",
-        "whole suite ~20%), so judge the 2x gate against that noise floor,",
-        "especially for queries under ~1 s.",
+        "whole suite ~20%). **Judge the 2x gate against the MEDIAN column**:",
+        "the median sheds single-run contention that the mean keeps, which is",
+        "what made the gate mushy for sub-second queries (VERDICT r3 item 7).",
         "",
-        f"**Suite wall-clock (sum of per-query means): {total} s.**",
+        f"**Suite wall-clock: {total_median} s (sum of medians);"
+        f" {total_mean} s (sum of means).**",
         f"Single-run totals observed: {' / '.join(str(s) + ' s' for s in singles)}.",
         "",
-        "| Query | sec |",
-        "|---|---|",
+        "| Query | median s | mean s |",
+        "|---|---|---|",
     ]
     for q in sorted(means):
-        lines.append(f"| {q} | {means[q]:.2f} |")
+        lines.append(f"| {q} | {medians[q]:.2f} | {means[q]:.2f} |")
     lines.append("")
     open("BASELINE.md", "w").write("\n".join(lines))
-    print(f"BASELINE.md refreshed: {len(means)} queries, suite {total} s")
+    print(
+        f"BASELINE.md refreshed: {len(means)} queries, "
+        f"suite median {total_median} s / mean {total_mean} s"
+    )
 
 
 if __name__ == "__main__":
