@@ -85,67 +85,151 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_jaccard_pairs(spark, sf_dir).drop("block")
 
 
+_JACCARD_TAU = 0.95
+# J(A,B) >= τ bounds the symmetric difference: with u = |A∪B| and
+# |A|+|B| = u·(1+J), |A△B| = u·(1-J) <= (1-τ)/(1+τ) · (|A|+|B|).
+_DELTA_COEF = (1.0 - _JACCARD_TAU) / (1.0 + _JACCARD_TAU)
+
+
 def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_ngram_jaccard plus the blocking key (`block` = source) —
     consumers that partition by the mining block (connected components'
-    local union-find phase) take this variant."""
+    local union-find phase) take this variant.
+
+    Candidate generation is PARTITION-BASED (the pigeonhole scheme of
+    partition-based set-similarity joins, cf. PassJoin / Deng et al.
+    VLDB'15), not a block-nested pair join — the r3 sf1 probe showed the
+    (source, size-bucket) pair join going 57× on 10× data because every
+    block grows linearly with the corpus:
+
+    1. Words are 64-bit-hashed and sorted (jaccard over hashed sets
+       equals jaccard over word sets up to 64-bit collisions,
+       P ~ |vocab|²/2⁶⁵ — the oracle cross-check would surface one).
+    2. Size-bound prune: J >= τ forces |A|/|B| within τ, so matching
+       pairs sit in the same or adjacent log₁/τ size buckets; each pair
+       is examined under exactly ONE key bucket kb = bucket(A).
+    3. Pigeonhole signatures: any pair matched under kb has
+       |A△B| <= d(kb) = ⌊Δcoef·(max|A|+max|B|)⌋ by the bound above, so
+       splitting each token set into m(kb) = d(kb)+1 classes by
+       pmod(token, m) leaves at least one class UNTOUCHED by the
+       difference — i.e. an identical token subset on both sides. The
+       join key is (source, kb, class_id, xxhash64(sorted class
+       subset)): an equi-join whose per-key group size is the count of
+       docs sharing one identical chunk — near-dup density, not corpus
+       size. No O(block²) term survives; replication is m(kb) ≈
+       Δcoef·|doc| signature rows per doc (linear in total tokens).
+    4. Exact verify: candidate pairs are distinct'd (a pair can share
+       several clean chunks), then re-joined to the token arrays and
+       checked with one array_intersect — jaccard derives from
+       |A∪B| = |A|+|B|-|A∩B|, no union pass.
+
+    At 100 TB the shape holds: signature rows scale with Δcoef × total
+    tokens, the candidate join is an equi-join on a high-cardinality
+    key, and verification touches only genuine near-dup candidates.
+    """
     import math
 
-    # Words are 64-bit-hashed BEFORE the pair join: set intersection over
-    # longs is ~2.5x cheaper than over strings and the shuffled candidate
-    # payload shrinks to 8 bytes/word. Jaccard over hashed sets equals
-    # jaccard over word sets unless two distinct words of one pair's
-    # union collide in 64 bits (P ~ |vocab|²/2⁶⁵ — negligible; the driver
-    # oracle cross-check would surface it).
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.array_distinct(
-            F.transform(F.split("text", " "), lambda x: F.xxhash64(x))
-        ).alias("w"),
-    ).withColumn("n", F.size("w"))
-    # Size-bound prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so τ=0.95
-    # requires set sizes within 5%. Exploited twice:
-    # (1) the join KEY gets a log-size bucket (bucket width = one 5% step,
-    #     matching pairs are in the same or adjacent buckets) — this breaks
-    #     the skew of joining on `source` alone (few distinct sources →
-    #     few shuffle keys → O(block²) work on a handful of tasks);
-    # (2) the exact 5% check runs in the join before any array intersect.
-    bucket = F.floor(F.log(F.col("n").cast("double")) / math.log(1 / 0.95)).cast(
-        "long"
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            # array_sort canonicalizes chunk content so equal subsets
+            # hash equal regardless of word order in the text.
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(F.split("text", " "), lambda x: F.xxhash64(x))
+                )
+            ).alias("w"),
+        )
+        .withColumn("n", F.size("w"))
     )
-    a = docs.withColumn("bk", bucket).alias("a")
-    b = docs.withColumn(
-        "bk", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    growth = 1.0 / _JACCARD_TAU
+    bucket = F.floor(
+        F.log(F.col("n").cast("double")) / math.log(growth)
+    ).cast("long")
+    docs = docs.withColumn("bk", bucket)
+
+    def m_of(kb):
+        # Pairs matched under key kb satisfy |A| < growth^(kb+1) (A's own
+        # bucket is kb) and |B| <= |A|/τ < growth^(kb+2); d(kb) computed
+        # from those maxima upper-bounds |A△B| for every matched pair.
+        max_sum = F.pow(F.lit(growth), kb.cast("double") + 1.0) + F.pow(
+            F.lit(growth), kb.cast("double") + 2.0
+        )
+        return (F.floor(F.lit(_DELTA_COEF) * max_sum) + 1).cast("int")
+
+    def signatures(df):
+        # df carries a `kb` column (the key bucket this row is examined
+        # under); emit one row per token-class with the class-subset hash.
+        m = m_of(F.col("kb"))
+        return df.select(
+            "doc_id",
+            "source",
+            "n",
+            "kb",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), m - 1),
+                    lambda cid: F.struct(
+                        cid.cast("int").alias("cid"),
+                        F.xxhash64(
+                            F.filter(
+                                F.col("w"), lambda tok: F.pmod(tok, m) == cid
+                            )
+                        ).alias("chash"),
+                    ),
+                )
+            ).alias("sig"),
+        ).select("doc_id", "source", "n", "kb", "sig.cid", "sig.chash")
+
+    sig_a = signatures(docs.withColumn("kb", F.col("bk"))).alias("a")
+    sig_b = signatures(
+        docs.withColumn(
+            "kb", F.explode(F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1))
+        )
     ).alias("b")
     size_band = (
-        (F.col("a.n").cast("double") >= F.col("b.n") * 0.95)
-        & (F.col("b.n").cast("double") >= F.col("a.n") * 0.95)
+        (F.col("a.n").cast("double") >= F.col("b.n") * _JACCARD_TAU)
+        & (F.col("b.n").cast("double") >= F.col("a.n") * _JACCARD_TAU)
     )
-    # Intersection size is projected ONCE per candidate pair, then jaccard
-    # derives from it via |A∪B| = |A|+|B|-|A∩B| — no array_union pass, and
-    # no re-evaluation of array_intersect across the filter/select
-    # operator boundary (w arrays are hundreds of words; the array scans
-    # ARE the cost of this query).
-    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w")))
-    return (
-        a.join(
-            b,
+    cands = (
+        sig_a.join(
+            sig_b,
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.kb") == F.col("b.kb"))
+            & (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.chash") == F.col("b.chash"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & size_band,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            (
-                inter.cast("double")
-                / (F.col("a.n") + F.col("b.n") - inter).cast("double")
-            ).alias("jaccard_raw"),
             F.col("a.source").alias("block"),
         )
-        .where(F.col("jaccard_raw") >= 0.95)
+        .distinct()
+    )
+    wa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"), F.col("n").alias("na")
+    )
+    wb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    return (
+        cands.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter.cast("double")
+                / (F.col("na") + F.col("nb") - inter).cast("double")
+            ).alias("jaccard_raw"),
+            "block",
+        )
+        .where(F.col("jaccard_raw") >= _JACCARD_TAU)
         .select(
             "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"), "block"
         )
@@ -389,39 +473,106 @@ _EMB_COSINE_ORACLE = f"""
 
 @query("dedup_embedding_cosine", oracle=_EMB_COSINE_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (τ=_COSINE_TAU), blocked on label.
+    """Embedding-cosine near-dup pairs (τ=_COSINE_TAU), blocked on label,
+    computed as a TILED GRAM MATRIX — the distributed exact-similarity
+    shape that survives growing blocks.
 
-    The label block stands in for any cheap partitioner (cluster id,
-    shard, LSH bucket) that keeps the pair space out of O(n²); within a
-    block the dot product is a JVM-side zip_with/aggregate fold over the
-    double-cast vectors — norms computed once per row, never per pair.
+    At τ=0.35 over 64-dim near-orthogonal vectors no lossless geometric
+    pruning exists (the threshold sits ~2.8σ into the random-cosine
+    distribution, so every same-label pair must genuinely be examined);
+    the r3 sf1 probe showed the per-pair zip_with fold going 62× on 10×
+    data. Exact all-pairs is inherently O(block²) COMPARISONS — the fix
+    is to make each comparison a BLAS flop instead of a codegen'd
+    64-step fold, and to bound task memory:
+
+    1. Rows hash into T tiles per label (T sized so a tile-pair Gram
+       matrix fits one task); each row is replicated to the ≤T tile-PAIRS
+       it participates in — linear data movement, no row pairs shuffled.
+    2. groupBy(label, ti, tj) → applyInPandas: one float64
+       `A @ B.T / outer(norms)` per tile pair (Arrow-batched, NumPy
+       BLAS — ~100× the throughput of a per-pair expression fold),
+       threshold applied inside, only qualifying pairs leave the task.
+    3. Rounding stays Spark-side (F.round after the UDF) so output
+       semantics are unchanged from the expression version.
+
+    Sub-quadratic near-dup detection is deliberately NOT this query:
+    that's the LSH/IVF ANN queries (similarity.py), which trade recall
+    for candidates. This one is the exact oracle-matching path.
+
+    Note: the UDF computes the same float64 dot/(|a|·|b|) as the DuckDB
+    oracle; BLAS summation order can differ in the last ulp, which only
+    matters for a cosine within ~1e-15 of τ or of a 1e-6 rounding
+    midpoint (same documented tolerance class as geo.py).
+
+    The single tiny eager job (max label-block count, to size T) is the
+    same build-time pattern as graph_pagerank_fixed.
     """
-    from muurschilderingendatabase_etl_spark.queries.similarity import (
-        _as_double,
-        _dot,
-        _norm,
-    )
+    import math
 
-    emb = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("nrm", _norm(F.col("v")))
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    max_block = (
+        emb.groupBy("label").count().agg(F.max("count").alias("m")).first()["m"]
+        or 1
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cosine = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    tile_rows = 4096  # tile-pair Gram = 4096² doubles ≈ 128 MB/task peak
+    n_tiles = max(1, math.ceil(max_block / tile_rows))
+    tau = _COSINE_TAU
+
+    tid = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_tiles)).cast("int")
+    # A row in tile t joins tile-pairs (t, j≥t) as the left side and
+    # (i<t, t) as the right side; sequence() is guarded because Spark's
+    # sequence(0, -1) would count DOWN, not return empty.
+    as_left = F.transform(
+        F.sequence(tid, F.lit(n_tiles - 1)),
+        lambda j: F.struct(tid.alias("ti"), j.cast("int").alias("tj")),
+    )
+    as_right = F.when(
+        tid > 0,
+        F.transform(
+            F.sequence(F.lit(0), tid - 1),
+            lambda i: F.struct(i.cast("int").alias("ti"), tid.alias("tj")),
+        ),
+    ).otherwise(F.array().cast("array<struct<ti:int,tj:int>>"))
+    exploded = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        tid.alias("tid"),
+        F.explode(F.concat(as_left, as_right)).alias("tp"),
+    ).select("vec_id", "label", "embedding", "tid", "tp.ti", "tp.tj")
+
+    def gram_tile(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        _, ti, tj = key
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        if ti == tj:
+            cos = (mat @ mat.T) / np.outer(nrm, nrm)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            sel = cos[iu, ju] >= tau
+            left, right, vals = ids[iu[sel]], ids[ju[sel]], cos[iu, ju][sel]
+        else:
+            la = pdf["tid"].to_numpy() == ti
+            a_ids, b_ids = ids[la], ids[~la]
+            if len(a_ids) == 0 or len(b_ids) == 0:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                    {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+                )
+            cos = (mat[la] @ mat[~la].T) / np.outer(nrm[la], nrm[~la])
+            iu, ju = np.where(cos >= tau)
+            left, right, vals = a_ids[iu], b_ids[ju], cos[iu, ju]
+        lo = np.minimum(left, right)
+        hi = np.maximum(left, right)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": vals}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine.alias("cosine"),
-        )
-        .where(F.col("cosine") >= _COSINE_TAU)
+        exploded.groupBy("label", "ti", "tj")
+        .applyInPandas(gram_tile, schema="vec_a long, vec_b long, cosine double")
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
 
