@@ -5,19 +5,24 @@ SimHash.
 Scale notes:
 - Exact dedup groups on a 256-bit content hash — shuffle carries the
   32-byte hash, never the document text.
-- The pairwise Jaccard query blocks on `source` (within-group O(g²));
-  the MinHash-LSH query is the unblocked scale path: candidates come
-  from an inverted band index (shuffle on band value), so cost is
-  O(n·bands + candidate_pairs), not O(n²). With 16 minhashes in 8
-  bands × 2 rows, recall at j≥0.9 is ≈99.9997% per pair and false
-  candidates are removed by exact verification — which is why the LSH
-  query can share the all-pairs SQL oracle.
-- SimHash candidates come from equality on any of four 16-bit chunks
-  (pigeonhole: hamming ≤ 3 guarantees a matching chunk), then exact
-  hamming verify via xor+bit_count.
+- The pairwise Jaccard query is EXACT but not all-pairs: candidates
+  come from partition-based pigeonhole signatures (an equi-join on an
+  identical-token-subset hash — see _ngram_jaccard_pairs), so cost
+  follows near-dup density, not block². The MinHash-LSH query is the
+  probabilistic alternative: candidates from an inverted band index,
+  O(n·bands + candidate_pairs). With 16 minhashes in 8 bands × 2 rows,
+  recall at j≥0.9 is ≈99.9997% per pair and false candidates are
+  removed by exact verification — which is why the LSH query can share
+  the all-pairs SQL oracle.
+- SimHash candidates come from the multi-chunk pigeonhole: hamming ≤ 3
+  over 5 chunks guarantees an identical PAIR of chunks, so the join key
+  is ~26 bits (one of C(5,2)=10 combos), then exact hamming verify via
+  xor+bit_count.
 
-Everything is built-in expressions (xxhash64, transform, aggregate,
-zip_with) — no Python UDFs, the whole pipeline stays in codegen.
+Everything stays in codegen (xxhash64, transform, aggregate, zip_with)
+except the embedding-cosine Gram tiles, which are Arrow-batched NumPy
+matmuls by design — BLAS beats a 64-step per-pair expression fold by
+~100× and the tile size bounds task memory.
 """
 
 from __future__ import annotations
@@ -470,6 +475,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # matching pairs; the operator semantics are threshold-independent.
 _COSINE_TAU = 0.35
 
+# Rows per Gram tile: a tile-pair matrix is _COSINE_TILE_ROWS² doubles
+# (~128 MB at 4096). Module-level so tests can shrink it to force the
+# multi-tile (ti≠tj) path at small fixture sizes.
+_COSINE_TILE_ROWS = 4096
+
 _EMB_COSINE_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
@@ -529,8 +539,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.groupBy("label").count().agg(F.max("count").alias("m")).first()["m"]
         or 1
     )
-    tile_rows = 4096  # tile-pair Gram = 4096² doubles ≈ 128 MB/task peak
-    n_tiles = max(1, math.ceil(max_block / tile_rows))
+    n_tiles = max(1, math.ceil(max_block / _COSINE_TILE_ROWS))
     tau = _COSINE_TAU
 
     tid = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_tiles)).cast("int")
