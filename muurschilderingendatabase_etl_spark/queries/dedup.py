@@ -297,11 +297,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input split) and shingle+minhash is the CPU-heavy part — spread it
     # across all cores. On a real cluster the scan already has many
     # splits, and this becomes a cheap round-robin of small rows.
+    # Shingles are 64-bit-hashed ONCE; the 16 minhash functions then mix
+    # the 8-byte hash with the function index (multi-arg xxhash64) instead
+    # of re-hashing the ~20-char shingle string per function, and exact
+    # verification intersects long arrays instead of string arrays.
+    # Jaccard over hashed shingles equals jaccard over shingles unless two
+    # distinct shingles of one pair's union collide in 64 bits (same
+    # negligible-probability argument as _ngram_jaccard_pairs; the oracle
+    # cross-check would surface one).
     docs = (
         t(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.split("text", " ").alias("w"))
-        .select("doc_id", _shingles("w").alias("sh"))
+        .select(
+            "doc_id",
+            F.transform(_shingles("w"), lambda s: F.xxhash64(s)).alias("sh"),
+        )
         .where(F.size("sh") > 0)
     )
     mh = docs.select(
@@ -310,8 +321,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[
                 F.array_min(
                     F.transform(
-                        F.col("sh"),
-                        lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#{i}"))),
+                        F.col("sh"), lambda h, i=i: F.xxhash64(h, F.lit(i))
                     )
                 )
                 for i in range(_N_MINHASH)
@@ -331,12 +341,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "_",
+                        # 8-byte band key (hash of the band's rows) instead
+                        # of a concatenated string — smaller shuffle rows;
+                        # a band-key collision just adds one false
+                        # candidate, removed by exact verification.
+                        F.xxhash64(
                             *[
-                                F.col("sig").getItem(b * _BAND_ROWS + r).cast("string")
+                                F.col("sig").getItem(b * _BAND_ROWS + r)
                                 for r in range(_BAND_ROWS)
-                            ],
+                            ]
                         ).alias("band_val"),
                     )
                     for b in range(n_bands)
