@@ -118,8 +118,8 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
        splitting each token set into m(kb) = d(kb)+1 classes by
        pmod(token, m) leaves at least one class UNTOUCHED by the
        difference — i.e. an identical token subset on both sides. The
-       join key is (source, kb, class_id, xxhash64(sorted class
-       subset)): an equi-join whose per-key group size is the count of
+       join key is (source, kb, class_id, bit_xor of the class's token
+       hashes): an equi-join whose per-key group size is the count of
        docs sharing one identical chunk — near-dup density, not corpus
        size. No O(block²) term survives; replication is m(kb) ≈
        Δcoef·|doc| signature rows per doc (linear in total tokens).
@@ -167,26 +167,39 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def signatures(df):
         # df carries a `kb` column (the key bucket this row is examined
         # under); emit one row per token-class with the class-subset hash.
+        #
+        # Single linear pass: each token is routed to its class once
+        # (explode) and the class content hash is the BIT_XOR of member
+        # token hashes — commutative, so identical subsets still hash
+        # identically (all the pigeonhole guarantee needs); xor
+        # collisions between different subsets only add false
+        # candidates, which the exact array_intersect verify removes.
+        # Sentinel zero rows keep EMPTY classes in play (a clean class
+        # may be empty on both sides; xor identity 0 plays the role of
+        # the empty-subset hash). Map-side partial aggregation collapses
+        # the token rows before the shuffle, so shuffle volume stays
+        # ≈ m rows per doc.
         m = m_of(F.col("kb"))
-        return df.select(
-            "doc_id",
-            "source",
-            "n",
-            "kb",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), m - 1),
-                    lambda cid: F.struct(
-                        cid.cast("int").alias("cid"),
-                        F.xxhash64(
-                            F.filter(
-                                F.col("w"), lambda tok: F.pmod(tok, m) == cid
-                            )
-                        ).alias("chash"),
-                    ),
-                )
-            ).alias("sig"),
-        ).select("doc_id", "source", "n", "kb", "sig.cid", "sig.chash")
+        pairs = F.concat(
+            F.transform(
+                F.col("w"),
+                lambda tok: F.struct(
+                    F.pmod(tok, m).cast("int").alias("cid"), tok.alias("th")
+                ),
+            ),
+            F.transform(
+                F.sequence(F.lit(0), m - 1),
+                lambda c: F.struct(
+                    c.cast("int").alias("cid"), F.lit(0).cast("long").alias("th")
+                ),
+            ),
+        )
+        return (
+            df.select("doc_id", "source", "n", "kb", F.explode(pairs).alias("p"))
+            .select("doc_id", "source", "n", "kb", "p.cid", "p.th")
+            .groupBy("doc_id", "source", "n", "kb", "cid")
+            .agg(F.bit_xor("th").alias("chash"))
+        )
 
     sig_a = signatures(docs.withColumn("kb", F.col("bk"))).alias("a")
     sig_b = signatures(
@@ -542,25 +555,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     matters for a cosine within ~1e-15 of τ or of a 1e-6 rounding
     midpoint (same documented tolerance class as geo.py).
 
-    The single tiny eager job (max label-block count, to size T) is the
-    same build-time pattern as graph_pagerank_fixed.
+    T is PER-LABEL (broadcast join of per-label counts,
+    T_label = ceil(count/_COSINE_TILE_ROWS)): sizing T from the global
+    max block would replicate every small label's rows max-T-fold, so
+    replication now scales with each label's own block size — and no
+    eager driver job is needed.
     """
-    import math
-
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    max_block = (
-        emb.groupBy("label").count().agg(F.max("count").alias("m")).first()["m"]
-        or 1
-    )
-    n_tiles = max(1, math.ceil(max_block / _COSINE_TILE_ROWS))
     tau = _COSINE_TAU
 
-    tid = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_tiles)).cast("int")
+    counts = emb.groupBy("label").agg(
+        F.greatest(
+            F.lit(1), F.ceil(F.count(F.lit(1)) / F.lit(_COSINE_TILE_ROWS))
+        )
+        .cast("int")
+        .alias("nt")
+    )
+    emb = emb.join(F.broadcast(counts), "label")
+
+    tid = F.pmod(F.xxhash64(F.col("vec_id")), F.col("nt")).cast("int")
     # A row in tile t joins tile-pairs (t, j≥t) as the left side and
     # (i<t, t) as the right side; sequence() is guarded because Spark's
     # sequence(0, -1) would count DOWN, not return empty.
     as_left = F.transform(
-        F.sequence(tid, F.lit(n_tiles - 1)),
+        F.sequence(tid, F.col("nt") - 1),
         lambda j: F.struct(tid.alias("ti"), j.cast("int").alias("tj")),
     )
     as_right = F.when(
