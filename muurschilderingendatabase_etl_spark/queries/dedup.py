@@ -328,18 +328,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.size("sh") > 0)
     )
+    def _minhash(i: int):
+        # Closure MUST be single-argument: F.transform dispatches on
+        # lambda arity, and a two-arg lambda receives (element,
+        # array_index) — a `lambda h, i=i:` default is overridden by the
+        # index column, collapsing all 16 "functions" into one
+        # position-salted hash (≈1/|shingles| miss rate per true pair
+        # instead of (1-s²)^bands; caught by a driver-fixture refresh).
+        return F.array_min(
+            F.transform(F.col("sh"), lambda h: F.xxhash64(h, F.lit(i)))
+        )
+
     mh = docs.select(
         "doc_id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("sh"), lambda h, i=i: F.xxhash64(h, F.lit(i))
-                    )
-                )
-                for i in range(_N_MINHASH)
-            ]
-        ).alias("sig"),
+        F.array(*[_minhash(i) for i in range(_N_MINHASH)]).alias("sig"),
     )
     n_bands = _N_MINHASH // _BAND_ROWS
     # Band rows carry ONLY (doc_id, band_id, band_val): the inverted-index
@@ -930,10 +932,17 @@ def pack_sequence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently sequential bin state). Token counts use the BPE-ish
     regex from text_token_count.
 
-    Scale shape: one global rank by length (ntile-style; at 100 TB
-    replace with approx-quantile range bucketing, same as
-    window_ntile_buckets' note), then pure arithmetic binning — no
-    per-bin state, no driver loop."""
+    Scale shape: the length-descending global rank is computed with the
+    two-phase distributed ranker (distributed.with_global_row_number:
+    range-repartition → in-stage local index → broadcast per-partition
+    offsets) — exact row_number semantics, byte-identical to the
+    oracle's window, with NO single-partition Exchange in the plan
+    (asserted by tests/test_plans.py); then pure arithmetic binning —
+    no per-bin state, no driver loop."""
+    from muurschilderingendatabase_etl_spark.queries.distributed import (
+        with_global_row_number,
+    )
+
     sized = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(
@@ -942,13 +951,11 @@ def pack_sequence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_tokens"),
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("n_tokens"), "doc_id")
+    ranked = with_global_row_number(
+        sized, [F.desc("n_tokens"), F.col("doc_id")], out_col="rn"
+    )
     return (
-        sized.withColumn(
-            "bin", ((F.row_number().over(w) - 1) % 16).cast("long")
-        )
+        ranked.withColumn("bin", ((F.col("rn") - 1) % 16).cast("long"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

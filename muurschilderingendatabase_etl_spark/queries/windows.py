@@ -360,18 +360,44 @@ def window_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth decile bucketing via ntile — the histogram/binning
-    primitive (both engines hand the remainder rows to the first
-    buckets, and the (c_acctbal, c_custkey) tie-break makes bucket
-    assignment deterministic). Single global sort; at scale ntile over
-    an un-partitioned window is the one legitimately global-sort
-    operator here — for 100 TB you'd bucket by approx quantile bounds
-    (percentile_approx) instead, trading exactness for parallelism."""
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    """Equi-depth decile bucketing with exact NTILE semantics — the
+    histogram/binning primitive (both engines hand the remainder rows
+    to the first buckets, and the (c_acctbal, c_custkey) tie-break
+    makes bucket assignment deterministic).
+
+    Scale shape: NTILE over an un-partitioned window would be a
+    single-task global sort; instead the exact global rank comes from
+    the two-phase distributed ranker (distributed.
+    with_global_row_number) and NTILE(k) is reconstructed
+    arithmetically from (rank, total): with base = N div k and
+    rem = N mod k the first rem buckets hold base+1 rows — identical
+    output to the window ntile (oracle unchanged), no single-partition
+    Exchange in the plan (asserted by tests/test_plans.py)."""
+    from muurschilderingendatabase_etl_spark.queries.distributed import (
+        with_global_row_number,
+    )
+
+    ranked = with_global_row_number(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        out_col="rn",
+        total_col="_total",
+    )
+    k = 10
+    # NTILE(k) from (rank, total): first rem buckets hold base+1 rows.
+    # All arithmetic on columns keeps the plan fully lazy; `/` on longs
+    # is double division — exact for counts < 2^53, and the otherwise
+    # branch's base=0 case (total < k) is unreachable because pivot
+    # then covers every rank (CaseWhen evaluates lazily per row).
+    base = F.floor(F.col("_total") / k)
+    rem = F.col("_total") % k
+    pivot = rem * (base + 1)
+    r = F.col("rn")
+    bucket = F.when(r <= pivot, (r - 1) / (base + 1)).otherwise(
+        rem + (r - pivot - 1) / F.greatest(base, F.lit(1))
+    )
     return (
-        t(spark, sf_dir, "customer")
-        .select("c_custkey", "c_acctbal")
-        .withColumn("bucket", F.ntile(10).over(w).cast("long"))
+        ranked.withColumn("bucket", F.floor(bucket).cast("long") + 1)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

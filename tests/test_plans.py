@@ -393,3 +393,18 @@ def test_dynamic_partition_pruning_injected(spark):
     scanned even though the dim filters to 2 of 7 years."""
     p = _plan(spark, "join_dynamic_partition_pruning")
     assert "dynamicpruning" in p.lower()
+
+
+def test_global_rank_queries_have_no_single_partition_exchange(spark):
+    """pack_sequence_bins and window_ntile_buckets were rebuilt on the
+    two-phase distributed ranker (distributed.with_global_row_number):
+    an unpartitioned Window.orderBy would show up as Exchange
+    SinglePartition — every row funneled through ONE task, the plan
+    shape that dies at 100 TB. Guard that neither plan regresses to it.
+    (The final 16/10-row `.orderBy(bin)` output sort is range-
+    partitioned over post-aggregation rows, not SinglePartition.)"""
+    for name in ("pack_sequence_bins", "window_ntile_buckets"):
+        p = _plan(spark, name)
+        assert "SinglePartition" not in p, f"{name} plan funnels to one task"
+        # the ranker's offset join must stay broadcast (P tiny rows)
+        assert "BroadcastHashJoin" in p
