@@ -32,6 +32,15 @@ from muurschilderingendatabase_etl_spark.tables import t
 PART_OFFSET = 10_000_000
 DAMPING = 0.85
 N_ITER = 8
+# Above this node count the per-iteration rank table is too big to
+# broadcast (≈16 B/row → ~30 MB at the default); the loop then switches
+# to the pre-hash-partitioned shuffle join: edges are repartitioned on
+# src ONCE and persisted (persist, not localCheckpoint — a cached
+# repartition keeps HashPartitioning(src) visible to Catalyst, so only
+# the node-cardinality rank side shuffles each iteration).
+# tests/test_plans.py::test_pagerank_nonbroadcast_path forces this path
+# via monkeypatch and diffs it against the broadcast path's output.
+BROADCAST_MAX_NODES = 2_000_000
 
 
 def _pagerank_oracle() -> str:
@@ -86,30 +95,47 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("p AS src", "s AS dst")
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # (src, dst, deg) — the per-iteration join input, computed ONCE and
-    # pinned; without the eager materialization every iteration's
-    # broadcast build would re-run the distinct + degree shuffles.
-    # coalesce: at this SF the edge table is ~1M short rows — 8 fat
-    # partitions beat 32 thin ones on per-task overhead across the 8
-    # iteration scans (a real cluster sizes this to edges/128MB).
-    e = edges.join(deg, "src").coalesce(8).localCheckpoint()
+    ed = edges.join(deg, "src")
     # Node count is a driver scalar (one small action, same pattern as
     # the convergence probes in dedup_connected_components): folding it
     # in as a literal keeps the per-iteration plan free of a second
     # broadcast whose lineage would drag the whole edge pipeline along.
-    n_nodes = float(e.select("src").distinct().count())
+    # It also selects the join strategy for the whole loop.
+    n_nodes = float(ed.select("src").distinct().count())
+    use_broadcast = n_nodes <= BROADCAST_MAX_NODES
+    if use_broadcast:
+        # (src, dst, deg) — the per-iteration join input, computed ONCE
+        # and pinned; without the eager materialization every
+        # iteration's broadcast build would re-run the distinct + degree
+        # shuffles. coalesce: at this SF the edge table is ~1M short
+        # rows — 8 fat partitions beat 32 thin ones on per-task overhead
+        # across the 8 iteration scans (a real cluster sizes this to
+        # edges/128MB).
+        e = ed.coalesce(8).localCheckpoint()
+    else:
+        # Non-broadcast path (node set too big for a per-iteration
+        # broadcast): hash-partition the edges on src ONCE and cache.
+        # persist — not localCheckpoint — because the cached plan keeps
+        # HashPartitioning(src) visible to Catalyst, so each iteration
+        # shuffles only the node-cardinality rank side; the edge table
+        # never moves again (plan-asserted).
+        e = ed.repartition(
+            spark.sparkContext.defaultParallelism, "src"
+        ).persist()
+        e.count()  # materialize the cache before the loop
     ranks = e.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr")
     )
     for i in range(1, N_ITER + 1):
-        # Broadcast the rank table: it is node-cardinality (orders of
+        # Broadcast path: the rank table is node-cardinality (orders of
         # magnitude below edge-cardinality), so each iteration becomes a
         # map-side join over the cached edge partitions + one partial
-        # aggregation — the edge table is never re-shuffled. If nodes
-        # outgrow the broadcast threshold, drop the hint and pre-hash-
-        # partition both sides on src once instead.
+        # aggregation — the edge table is never re-shuffled. Shuffle
+        # path: same plan minus the hint; the rank side hash-shuffles to
+        # the edges' pinned partitioning.
+        r = F.broadcast(ranks) if use_broadcast else ranks
         contrib = (
-            e.join(F.broadcast(ranks), e.src == ranks.node)
+            e.join(r, e.src == r.node)
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
         )

@@ -295,3 +295,43 @@ def test_compaction_collapses_files(spark):
     assert scans.LAST_COMPACT_DIR, "compacted output dir not recorded"
     n_files = len(glob.glob(f"{scans.LAST_COMPACT_DIR}/part-*.parquet"))
     assert 0 < n_files <= 4, f"expected <=4 compacted files, found {n_files}"
+
+
+def test_geo_fixture_clear_of_ulp_boundary():
+    """geo.py documents the one known parity landmine: a pair within
+    ulps of the 500 km cut (or a nearest_km rounding midpoint) could
+    flip Spark-vs-DuckDB parity on a fixture refresh even though the
+    operator is correct. Guard-band it: at every driver SF the closest
+    pair distance to the 500 km boundary must clear it by >= 1 mm —
+    ~10^6 x the ~1-ulp libm divergence. (nearest_km midpoints are
+    degenerate-stable by construction: customer keys superset supplier
+    keys, so every supplier has a same-coordinate customer and
+    nearest_km == 0.00 exactly.) If this ever fires, nudge RADIUS_KM by
+    1e-6 in BOTH engines per the geo.py note — don't chase bit trig."""
+    import duckdb
+
+    hav = (
+        "2*6371.0*asin(sqrt(pow(sin(radians(c.lat-s.lat)/2),2)"
+        "+cos(radians(s.lat))*cos(radians(c.lat))"
+        "*pow(sin(radians(c.lon-s.lon)/2),2)))"
+    )
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW supplier AS SELECT * FROM '/root/testdata/{sf}/supplier.parquet'"
+        )
+        con.sql(
+            f"CREATE VIEW customer AS SELECT * FROM '/root/testdata/{sf}/customer.parquet'"
+        )
+        gap, min_d = con.sql(
+            f"""
+            WITH s AS (SELECT (((s_suppkey*37)%12000)/100.0-60) AS lat,
+                              (((s_suppkey*73)%36000)/100.0-180) AS lon FROM supplier),
+                 c AS (SELECT (((c_custkey*37)%12000)/100.0-60) AS lat,
+                              (((c_custkey*73)%36000)/100.0-180) AS lon FROM customer),
+                 d AS (SELECT {hav} AS dist FROM s CROSS JOIN c)
+            SELECT MIN(ABS(dist-500.0)), MIN(dist) FROM d
+            """
+        ).fetchone()
+        assert gap >= 1e-6, f"{sf}: pair within {gap} km of the 500 km cut"
+        assert min_d == 0.0, f"{sf}: nearest_km degeneracy assumption broken"

@@ -362,6 +362,37 @@ def test_pagerank_broadcasts_ranks(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_pagerank_nonbroadcast_path_same_ranks(spark, monkeypatch):
+    """When the node set outgrows the broadcast threshold, the loop
+    switches to the pre-hash-partitioned shuffle join (edges
+    repartitioned on src once and persisted; only the rank side moves
+    per iteration). Forcing that path (threshold → 0, auto-broadcast
+    off so tiny-SF AQE can't re-broadcast) must reproduce the broadcast
+    path's ranks exactly and keep the edge cache's HashPartitioning in
+    the plan (InMemoryTableScan feeding the join, no hint)."""
+    from muurschilderingendatabase_etl_spark.queries import graph
+
+    base = {
+        (r.node, r.pr)
+        for r in graph.graph_pagerank_fixed(spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(graph, "BROADCAST_MAX_NODES", 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = graph.graph_pagerank_fixed(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "InMemoryTableScan" in p
+        assert "BroadcastHashJoin" not in p
+        got = {(r.node, r.pr) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == base
+
+
 def test_geo_grid_join_no_cartesian(spark):
     """The 500 km distance join must run as an equi-join on grid cells
     (broadcast or shuffled hash), never a cartesian/BNLJ over the full
