@@ -22,8 +22,14 @@ graph.serialize — export:84, transform:131-137). Here:
 Supported Turtle subset: @prefix/PREFIX directives, IRIs, prefixed
 names, ``a`` keyword, blank-node labels, string literals (single/triple
 quoted) with @lang / ^^datatype, numeric and boolean literal shorthand,
-``;`` and ``,`` lists. Not supported (absent from the reference's data):
-collections ``( … )``, anonymous ``[ … ]`` property lists.
+``;`` and ``,`` lists, anonymous ``[ … ]`` property lists (as subject
+or object, nested) and collections ``( … )`` (expanded to the standard
+rdf:first/rdf:rest/rdf:nil chain). The reference's own data never
+produces the last two, but Omeka S / JSON-LD-derived Turtle in the wild
+can (reference parse sites export_from_omeka_s.py:50,
+transform_datamodel.py:84,102). Anonymous nodes get deterministic
+fresh labels chosen to never collide with the document's explicit
+blank-node labels.
 """
 
 from __future__ import annotations
@@ -60,6 +66,7 @@ _TOKEN_RE = re.compile(
   | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<dtype_marker>\^\^)
   | (?P<punct>[;,.])
+  | (?P<bracket>[\[\]()])
   | (?P<bnode>_:[A-Za-z0-9_-]+)
   | (?P<pname>[A-Za-z0-9_-]*:[A-Za-z0-9_.%-]*)
   | (?P<number>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
@@ -116,9 +123,21 @@ class _Parser:
     def __init__(self) -> None:
         self.prefixes: dict[str, str] = {}
         self.base = ""
+        self._anon_prefix = "anon-"
+        self._anon_n = 0
+
+    def _fresh_bnode(self) -> str:
+        self._anon_n += 1
+        return f"_:{self._anon_prefix}{self._anon_n}"
 
     def parse(self, text: str) -> Iterator[dict]:
         tokens = list(_tokenize(text))
+        # Deterministic anonymous-node labels that can never collide
+        # with the document's explicit `_:` labels: lengthen the prefix
+        # until no explicit label starts with it.
+        explicit = {v[2:] for k, v in tokens if k == "bnode"}
+        while any(lbl.startswith(self._anon_prefix) for lbl in explicit):
+            self._anon_prefix += "x-"
         i = 0
         n = len(tokens)
         while i < n:
@@ -141,29 +160,105 @@ class _Parser:
             i = yield from self._statement(tokens, i)
 
     def _statement(self, tokens: list, i: int) -> Iterator[dict]:
-        subj, s_kind = self._term(tokens[i], subject=True)
-        i += 1
+        out: list[dict] = []
+        kind, val = tokens[i]
+        had_anon_props = False
+        if kind == "bracket" and val == "[":
+            i, subj = self._anon_property_list(tokens, i, out)
+            s_kind = BNODE
+            had_anon_props = True
+        elif kind == "bracket" and val == "(":
+            i, subj, s_kind = self._collection(tokens, i, out)
+        else:
+            subj, s_kind = self._term(tokens[i], subject=True)
+            i += 1
+        # `[ p o ] .` is a complete statement on its own.
+        if not (had_anon_props and i < len(tokens) and tokens[i] == ("punct", ".")):
+            i = self._predicate_object_list(tokens, i, subj, s_kind, out)
+        if i < len(tokens) and tokens[i] == ("punct", "."):
+            i += 1
+        else:
+            raise ValueError(f"expected '.' near token {i}: {tokens[i:i+3]}")
+        yield from out
+        return i
+
+    def _predicate_object_list(
+        self, tokens: list, i: int, subj: str, s_kind: str, out: list[dict]
+    ) -> int:
+        """Parse ``p o (, o)* (; p o …)*`` for ``subj``, appending triples
+        to ``out``. Leaves the terminator ('.' or ']') unconsumed."""
         while True:
             pred = self._predicate(tokens[i])
             i += 1
             while True:
-                i, obj = self._object(tokens, i)
-                yield {"s": subj, "s_kind": s_kind, "p": pred, **obj}
+                i, obj = self._object(tokens, i, out)
+                out.append({"s": subj, "s_kind": s_kind, "p": pred, **obj})
                 if i < len(tokens) and tokens[i] == ("punct", ","):
                     i += 1
                     continue
                 break
             if i < len(tokens) and tokens[i] == ("punct", ";"):
-                i += 1
-                # trailing ';' before '.'
-                if i < len(tokens) and tokens[i] == ("punct", "."):
+                # one or more ';' — stop if the list terminator follows
+                while i < len(tokens) and tokens[i] == ("punct", ";"):
                     i += 1
+                if i < len(tokens) and (
+                    tokens[i] == ("punct", ".") or tokens[i] == ("bracket", "]")
+                ):
                     return i
                 continue
-            if i < len(tokens) and tokens[i] == ("punct", "."):
-                i += 1
+            if i < len(tokens) and (
+                tokens[i] == ("punct", ".") or tokens[i] == ("bracket", "]")
+            ):
                 return i
-            raise ValueError(f"expected ';' ',' or '.' near token {i}: {tokens[i:i+3]}")
+            raise ValueError(
+                f"expected ';' ',' '.' or ']' near token {i}: {tokens[i:i+3]}"
+            )
+
+    def _anon_property_list(
+        self, tokens: list, i: int, out: list[dict]
+    ) -> tuple[int, str]:
+        """``[ p o ; … ]`` (or bare ``[]``) → fresh blank node; nested
+        triples go to ``out``. Returns (next index, bnode label)."""
+        node = self._fresh_bnode()
+        i += 1  # consume '['
+        if i < len(tokens) and tokens[i] == ("bracket", "]"):
+            return i + 1, node
+        i = self._predicate_object_list(tokens, i, node, BNODE, out)
+        if i < len(tokens) and tokens[i] == ("bracket", "]"):
+            return i + 1, node
+        raise ValueError(f"unterminated '[' near token {i}: {tokens[i:i+3]}")
+
+    def _collection(
+        self, tokens: list, i: int, out: list[dict]
+    ) -> tuple[int, str, str]:
+        """``( o1 o2 … )`` → rdf:first/rdf:rest chain of fresh blank
+        nodes (``()`` → rdf:nil). Returns (next index, head, kind)."""
+        rdf_ns = WELL_KNOWN_NAMESPACES["RDF"]
+        i += 1  # consume '('
+        items: list[dict] = []
+        while True:
+            if i >= len(tokens):
+                raise ValueError("unterminated '(' at end of input")
+            if tokens[i] == ("bracket", ")"):
+                i += 1
+                break
+            i, obj = self._object(tokens, i, out)
+            items.append(obj)
+        if not items:
+            return i, rdf_ns + "nil", IRI
+        nodes = [self._fresh_bnode() for _ in items]
+        for j, (node, obj) in enumerate(zip(nodes, items)):
+            out.append({"s": node, "s_kind": BNODE, "p": rdf_ns + "first", **obj})
+            rest = (
+                {"o": nodes[j + 1], "o_kind": BNODE}
+                if j + 1 < len(nodes)
+                else {"o": rdf_ns + "nil", "o_kind": IRI}
+            )
+            out.append({
+                "s": node, "s_kind": BNODE, "p": rdf_ns + "rest",
+                "o_lang": None, "o_datatype": None, **rest,
+            })
+        return i, nodes[0], BNODE
 
     def _expand_pname(self, pname: str) -> str:
         prefix, _, local = pname.partition(":")
@@ -193,8 +288,14 @@ class _Parser:
             raise ValueError(f"predicate must be an IRI: {token}")
         return term
 
-    def _object(self, tokens: list, i: int) -> tuple[int, dict]:
+    def _object(self, tokens: list, i: int, out: list[dict]) -> tuple[int, dict]:
         kind, val = tokens[i]
+        if kind == "bracket" and val == "[":
+            i, node = self._anon_property_list(tokens, i, out)
+            return i, {"o": node, "o_kind": BNODE, "o_lang": None, "o_datatype": None}
+        if kind == "bracket" and val == "(":
+            i, head, h_kind = self._collection(tokens, i, out)
+            return i, {"o": head, "o_kind": h_kind, "o_lang": None, "o_datatype": None}
         if kind in ("iri", "pname", "bnode"):
             term, t_kind = self._term(tokens[i])
             return i + 1, {"o": term, "o_kind": t_kind, "o_lang": None, "o_datatype": None}
@@ -275,6 +376,57 @@ def corrupt_records(parsed: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Writer
 
+# Namespace = everything up to and including the LAST '#' or '/' with a
+# pname-safe local part after it — the same split point rdflib's
+# compute_qname uses when auto_compact invents prefixes.
+_NS_SPLIT = r"^(.*[#/])[A-Za-z0-9_.-]+$"
+
+
+def auto_prefixes(
+    triples: DataFrame,
+    provided: dict[str, str] | None = None,
+    max_namespaces: int = 1000,
+) -> dict[str, str]:
+    """Synthesize ``ns1, ns2, …`` bindings for namespaces that occur in
+    the graph but are not covered by ``provided`` — the rdflib
+    ``serialize(…, auto_compact=True)`` analogue
+    (transform_datamodel.py:135). Deterministic: candidate namespaces
+    are sorted before numbering, so the same graph always gets the same
+    bindings (byte-stable golden output). One small aggregation job over
+    the triples (distinct namespaces, capped at ``max_namespaces``)."""
+    out = dict(provided or {})
+    bound = set(out.values())
+
+    def ns(col):
+        return F.regexp_extract(col, _NS_SPLIT, 1)
+
+    rows = (
+        triples.select(
+            F.explode(
+                F.array(
+                    F.when(F.col("s_kind") == IRI, ns(F.col("s"))),
+                    ns(F.col("p")),
+                    F.when(F.col("o_kind") == IRI, ns(F.col("o"))),
+                    ns(F.col("o_datatype")),
+                )
+            ).alias("ns")
+        )
+        .where(F.col("ns").isNotNull() & (F.col("ns") != ""))
+        .distinct()
+        .sort("ns")
+        .limit(max_namespaces)
+        .collect()
+    )
+    i = 1
+    for r in rows:
+        if r.ns in bound:
+            continue
+        while f"ns{i}" in out:
+            i += 1
+        out[f"ns{i}"] = r.ns
+        bound.add(r.ns)
+    return out
+
 
 def _format_term(value: str, kind: str, lang: str | None, dtype: str | None,
                  prefixes: list[tuple[str, str]]) -> str:
@@ -302,15 +454,20 @@ def write_turtle(
     triples: DataFrame,
     path: str,
     prefixes: dict[str, str] | None = None,
+    auto_compact: bool = False,
 ) -> None:
     """Deterministic Turtle sink: global orderBy(s,p,o) → one text file.
 
-    Prefix compaction mirrors rdflib's auto_compact
-    (transform_datamodel.py:135); the stable sort is the determinism
-    contract that golden-file tests rely on (SURVEY O21). coalesce(1)
-    matches the reference's single-artifact handoff — documented scale
-    ceiling, use parquet for the at-scale representation.
+    Prefix compaction uses the provided bindings; ``auto_compact=True``
+    additionally synthesizes ``nsN`` prefixes for unbound namespaces
+    (rdflib auto_compact analogue, transform_datamodel.py:135). The
+    stable sort is the determinism contract that golden-file tests rely
+    on (SURVEY O21). coalesce(1) matches the reference's single-artifact
+    handoff — documented scale ceiling, use parquet for the at-scale
+    representation.
     """
+    if auto_compact:
+        prefixes = auto_prefixes(triples, prefixes)
     prefix_items = sorted((prefixes or {}).items())
     # longest namespace first so the most specific prefix wins
     prefix_order = sorted(prefix_items, key=lambda kv: -len(kv[1]))
@@ -341,6 +498,7 @@ def serialize_turtle(
     triples: DataFrame,
     prefixes: dict[str, str] | None = None,
     max_triples: int = _SERIALIZE_MAX_TRIPLES,
+    auto_compact: bool = False,
 ) -> str:
     """Driver-side serialization to a single string (golden tests /
     small artifacts — the reference's graph.serialize analogue,
@@ -358,6 +516,8 @@ def serialize_turtle(
             f"max_triples={max_triples}; use write_turtle(df, path) for the "
             f"distributed single-artifact sink instead"
         )
+    if auto_compact:
+        prefixes = auto_prefixes(triples, prefixes)
     prefix_items = sorted((prefixes or {}).items())
     prefix_order = sorted(prefix_items, key=lambda kv: -len(kv[1]))
     rows = triples.select(*TRIPLE_COLS).orderBy("s", "p", "o").collect()

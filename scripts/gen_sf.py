@@ -14,6 +14,8 @@ distributions of those files (profiled 2026-08-14, see SCALE.md):
   value ~ Exp(mean 50) rounded to cents (observed mean 49.9 / median 34.8).
 - documents: 10..100 words from the 31-word vocab, ~0.2% exact-dup rate,
   lang weights {en: .41, de/es/fr/zh: ~.1475}, sources src0..src19.
+  (--corpus realistic swaps in a 30k-word Zipf-Mandelbrot vocab with
+  planted near-dups + sidecar — see REAL_VOCAB comment below.)
 - embeddings: dim-64 L2-normalised gaussians, label uniform 0..9 (the driver
   labels are NOT clustered -- within-label cosine ~= 0 -- so neither are ours).
 
@@ -30,6 +32,7 @@ independent of generation order. Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import zlib
 
@@ -38,6 +41,19 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 20260814
+
+# --corpus realistic: documents drawn from a Zipf-Mandelbrot vocabulary
+# instead of the 31-word fixture vocab. The fixture vocab makes random
+# word SETS collide quadratically (SCALE.md round-4 notes: the sf1
+# near-dup probe measured answer growth, not algorithms); a 30k-word
+# vocab with a flattened head (q=100 keeps the top word at ~0.2% of
+# tokens, so short docs aren't all head words) drives incidental
+# J >= 0.95 pairs to ~zero, and TRUE near-dups are PLANTED at a bounded
+# ~0.2% density with a sidecar (planted_neardups.json) so probes can
+# assert recall = 1.0.
+REAL_VOCAB = 30_000
+REAL_ZIPF_S = 1.07
+REAL_ZIPF_Q = 100.0
 
 VOCAB = np.array(
     "a agg batch big column customer data dup fast filter group hash join key "
@@ -83,7 +99,51 @@ def write(out: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def gen(sf: float, out: str, skew: float = 0.0) -> None:
+def _realistic_texts(
+    g: np.random.Generator, nd: int
+) -> tuple[list[str], list[tuple[int, int, float]]]:
+    """Zipf-Mandelbrot corpus with planted, sidecar-recorded near-dups.
+
+    p(rank r) ∝ 1/(r+q)^s over REAL_VOCAB words; q=100 flattens the
+    head so the most common word covers ~0.2% of tokens and short docs
+    are not all head words (which would recreate the fixture vocab's
+    quadratic incidental set collisions). ~0.2% of docs are exact
+    copies of an earlier doc (matching the driver fixture's dup rate)
+    and another ~0.2% are NEAR-copies: r = min(2, len//40) random word
+    positions replaced, which bounds word-set Jaccard at
+    (L-r)/(L+r) >= 0.951 — safely above the τ=0.95 cut (pairs whose
+    realized set Jaccard would dip below fall back to exact copies).
+    """
+    ranks = np.arange(1, REAL_VOCAB + 1, dtype=np.float64)
+    p = 1.0 / (ranks + REAL_ZIPF_Q) ** REAL_ZIPF_S
+    p /= p.sum()
+    lens = g.integers(10, 101, nd)
+    flat = g.choice(REAL_VOCAB, int(lens.sum()), p=p)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    words = [flat[offs[i]:offs[i + 1]] for i in range(nd)]
+    for i in np.flatnonzero(g.random(nd) < 0.002):
+        if i > 0:
+            words[i] = words[int(g.integers(0, i))].copy()
+    planted: list[tuple[int, int, float]] = []
+    for i in np.flatnonzero(g.random(nd) < 0.002):
+        if i == 0:
+            continue
+        j = int(g.integers(0, i))
+        w = words[j].copy()
+        r = min(2, len(w) // 40)
+        if r:
+            w[g.choice(len(w), r, replace=False)] = g.integers(0, REAL_VOCAB, r)
+        a_set, b_set = set(words[j].tolist()), set(w.tolist())
+        jac = len(a_set & b_set) / len(a_set | b_set)
+        if jac < 0.951:
+            w, jac = words[j].copy(), 1.0
+        words[i] = w
+        planted.append((j, i, jac))
+    texts = [" ".join(f"w{t}" for t in w) for w in words]
+    return texts, planted
+
+
+def gen(sf: float, out: str, skew: float = 0.0, corpus: str = "fixture") -> None:
     """Generate all ten tables at scale ``sf`` into ``out``.
 
     ``skew`` > 0 makes the fixture deliberately hot-keyed for stress tests
@@ -190,17 +250,35 @@ def gen(sf: float, out: str, skew: float = 0.0) -> None:
 
     g = rng("documents")
     nd = n["documents"]
-    lens = g.integers(10, 101, nd)
-    flat = VOCAB[g.integers(0, len(VOCAB), int(lens.sum()))]
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    texts = [" ".join(flat[offs[i]:offs[i + 1]]) for i in range(nd)]
-    # ~0.2% exact-dup rate (driver sf0.1 shows 8 dup pairs in 5000 docs).
-    for i in np.flatnonzero(g.random(nd) < 0.002):
-        if i > 0:
-            texts[i] = texts[g.integers(0, i)]
+    planted: list[tuple[int, int, float]] = []
+    if corpus == "realistic":
+        texts, planted = _realistic_texts(g, nd)
+    else:
+        lens = g.integers(10, 101, nd)
+        flat = VOCAB[g.integers(0, len(VOCAB), int(lens.sum()))]
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        texts = [" ".join(flat[offs[i]:offs[i + 1]]) for i in range(nd)]
+        # ~0.2% exact-dup rate (driver sf0.1: 8 dup pairs in 5000 docs).
+        for i in np.flatnonzero(g.random(nd) < 0.002):
+            if i > 0:
+                texts[i] = texts[g.integers(0, i)]
     src = g.integers(0, 20, nd)
     if skew > 0:
         src[g.random(nd) < skew] = 0
+    if planted:
+        # A planted near-dup must share its original's source (the
+        # jaccard query blocks on source); record the pairs for the
+        # recall probe.
+        for a_, b_, _ in planted:
+            src[b_] = src[a_]
+        json.dump(
+            [
+                {"doc_a": int(a_), "doc_b": int(b_), "jaccard": round(float(jc), 6)}
+                for a_, b_, jc in planted
+            ],
+            open(os.path.join(out, "planted_neardups.json"), "w"),
+        )
+        print(f"  planted near-dups: {len(planted)} pairs (sidecar json)")
     write(out, "documents", pa.table({
         "doc_id": pa.array(range(nd), pa.int64()),
         "text": texts,
@@ -225,9 +303,12 @@ def main() -> None:
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--skew", type=float, default=0.0)
+    ap.add_argument(
+        "--corpus", choices=["fixture", "realistic"], default="fixture"
+    )
     a = ap.parse_args()
-    print(f"generating sf{a.sf} (skew={a.skew}) -> {a.out}")
-    gen(a.sf, a.out, skew=a.skew)
+    print(f"generating sf{a.sf} (skew={a.skew}, corpus={a.corpus}) -> {a.out}")
+    gen(a.sf, a.out, skew=a.skew, corpus=a.corpus)
 
 
 if __name__ == "__main__":

@@ -324,3 +324,134 @@ def test_uri_regex_rejects_invalid(text):
 def test_mapping_preserves_cardinality(spark, mapping):
     triples = _fixture_triples(spark)
     assert transform.apply_mapping(triples, mapping).count() == triples.count()
+
+
+ANON_TTL = """@prefix ex: <http://ex.org/> .
+ex:a ex:knows [ ex:name "Bob" ; ex:age 42 ] .
+[ ex:name "Carol" ] ex:knows ex:a .
+[] ex:p ex:q .
+[ ex:name "solo" ] .
+ex:z ex:deep [ ex:inner [ ex:v 1 ] ] .
+"""
+
+COLL_TTL = """@prefix ex: <http://ex.org/> .
+ex:x ex:list ( ex:a "lit" 3 ( ex:nested ) ) .
+ex:y ex:empty () .
+"""
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_parse_anonymous_property_lists():
+    """`[ … ]` as object, subject, bare statement, empty, and nested —
+    the one parser gap a live Omeka S export could hit (r4 verdict
+    item 4; reference parse sites export_from_omeka_s.py:50)."""
+    triples = parse_turtle_text(ANON_TTL)
+    ex = "http://ex.org/"
+    knows = [t for t in triples if t["p"] == ex + "knows"]
+    # object position: ex:a knows a bnode that has name=Bob, age=42
+    obj_bnode = next(t["o"] for t in knows if t["s"] == ex + "a")
+    assert obj_bnode.startswith("_:")
+    props = {t["p"]: t["o"] for t in triples if t["s"] == obj_bnode}
+    assert props == {ex + "name": "Bob", ex + "age": "42"}
+    # subject position: a bnode with name=Carol knows ex:a
+    subj_bnode = next(t["s"] for t in knows if t["o"] == ex + "a")
+    assert subj_bnode.startswith("_:") and subj_bnode != obj_bnode
+    assert {"s": subj_bnode, "s_kind": "bnode", "p": ex + "name", "o": "Carol",
+            "o_kind": "literal", "o_lang": None, "o_datatype": None} in triples
+    # nested: z -> deep -> [inner -> [v 1]]
+    deep = next(t["o"] for t in triples if t["p"] == ex + "deep")
+    inner = next(t["o"] for t in triples if t["s"] == deep)
+    assert next(t["o"] for t in triples if t["s"] == inner) == "1"
+    assert len(triples) == 10
+
+
+def test_parse_collections_first_rest_nil():
+    triples = parse_turtle_text(COLL_TTL)
+    ex = "http://ex.org/"
+    head = next(t["o"] for t in triples if t["p"] == ex + "list")
+    items = []
+    node = head
+    while node != RDF_NS + "nil":
+        items.append(next(t["o"] for t in triples if t["s"] == node
+                          and t["p"] == RDF_NS + "first"))
+        node = next(t["o"] for t in triples if t["s"] == node
+                    and t["p"] == RDF_NS + "rest")
+    assert items[:3] == [ex + "a", "lit", "3"]
+    # 4th item is itself a one-element list holding ex:nested
+    sub = items[3]
+    assert next(t["o"] for t in triples if t["s"] == sub
+                and t["p"] == RDF_NS + "first") == ex + "nested"
+    # () is rdf:nil directly
+    assert next(t["o"] for t in triples if t["p"] == ex + "empty") == RDF_NS + "nil"
+
+
+def test_anon_label_never_collides_with_explicit():
+    ttl = """@prefix ex: <http://ex.org/> .
+_:anon-1 ex:p [ ex:q "v" ] .
+"""
+    triples = parse_turtle_text(ttl)
+    labels = {t["s"] for t in triples} | {
+        t["o"] for t in triples if t["o_kind"] == "bnode"
+    }
+    assert "_:anon-1" in labels
+    gen = labels - {"_:anon-1"}
+    assert len(gen) == 1 and not next(iter(gen)).startswith("_:anon-1")
+
+
+def test_anon_round_trip(spark, tmp_path):
+    """Labeled-bnode serialization of a graph parsed from anonymous
+    syntax re-parses to an isomorphic graph (labels are stable, so
+    plain triple-set equality applies)."""
+    for fixture in (ANON_TTL, COLL_TTL):
+        path = tmp_path / "anon.ttl"
+        path.write_text(fixture, encoding="utf-8")
+        parsed = read_turtle(spark, str(path))
+        triples = triples_only(parsed)
+        text = serialize_turtle(triples, {"ex": "http://ex.org/"})
+        reparsed = sorted(
+            (t["s"], t["p"], t["o"], t["o_lang"], t["o_datatype"])
+            for t in parse_turtle_text(text)
+        )
+        original = sorted(
+            (t["s"], t["p"], t["o"], t["o_lang"], t["o_datatype"])
+            for t in parse_turtle_text(fixture)
+        )
+        assert reparsed == original
+
+
+def test_auto_compact_synthesizes_prefixes(spark, tmp_path):
+    """rdflib auto_compact analogue (r4 verdict item 5): namespaces
+    present in the graph but unbound get deterministic nsN prefixes;
+    provided bindings win; output is byte-stable."""
+    ttl = """@prefix ex: <http://ex.org/> .
+ex:a <http://other.org/vocab#rel> <http://other.org/vocab#thing> .
+ex:a ex:val "3.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+"""
+    path = tmp_path / "auto.ttl"
+    path.write_text(ttl, encoding="utf-8")
+    triples = triples_only(read_turtle(spark, str(path)))
+    text = serialize_turtle(
+        triples, {"ex": "http://ex.org/"}, auto_compact=True
+    )
+    # the unbound namespaces got synthesized prefixes...
+    assert "@prefix ns1: <http://other.org/vocab#> ." in text
+    assert "@prefix ns2: <http://www.w3.org/2001/XMLSchema#> ." in text
+    # ...and the terms are compacted with them / with provided bindings
+    assert "ns1:rel ns1:thing ." in text
+    assert '"3.5"^^ns2:decimal' in text
+    assert "ex:a" in text
+    # byte-stable
+    assert text == serialize_turtle(
+        triples, {"ex": "http://ex.org/"}, auto_compact=True
+    )
+    # round-trips to the same graph
+    reparsed = sorted(
+        (t["s"], t["p"], t["o"], t["o_lang"], t["o_datatype"])
+        for t in parse_turtle_text(text)
+    )
+    original = sorted(
+        (t["s"], t["p"], t["o"], t["o_lang"], t["o_datatype"])
+        for t in parse_turtle_text(ttl)
+    )
+    assert reparsed == original
