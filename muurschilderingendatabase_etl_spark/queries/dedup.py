@@ -277,20 +277,22 @@ _BAND_ROWS = 2  # 8 bands x 2 rows
 
 
 def _shingles(wcol):
-    """Distinct 3-gram word shingles from a *materialized* words-array
-    column. (Passing a raw `split(...)` expression here would inline the
-    split into every element access inside the lambda — O(n²); callers
-    must project the words array into a column first.)"""
-    w = F.col(wcol)
-    n = F.size(w)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
-            ),
-        )
-    )
+    """Distinct 3-gram word shingles from a words-array column, as
+    slice + element-wise zip_with concat.
+
+    NOT the textbook transform(sequence(0, n-3), i -> element_at…)
+    formulation: Catalyst's projection collapsing re-inlines the
+    upstream expression into every element_at inside that lambda, which
+    made shingling O(n²) per document — measured 43 s → 3.5 s for the
+    minhash shingle phase at sf1 (50k docs). The three shifted slices +
+    two zip_with passes touch each word O(1) times regardless of what
+    fed the column, and sequence(0, -1)'s count-DOWN surprise (a crash
+    on documents shorter than 3 words) disappears because slice length
+    is clamped at 0. Output arrays are element-for-element identical
+    (equivalence-pinned in tests/test_dedup.py)."""
+    from muurschilderingendatabase_etl_spark.queries.textutil import word_ngrams
+
+    return F.array_distinct(word_ngrams(wcol, 3))
 
 
 @query("dedup_minhash_lsh", oracle=_SHINGLE_ORACLE)
@@ -419,17 +421,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from functools import reduce
 
-    # Repartition: 64 aggregate() folds per row is the CPU hot spot and
-    # the single-file fixture scan gives only one input split.
+    # Repartition AFTER projecting the hash array: 64 aggregate() folds
+    # per row is the CPU hot spot (and the single-file fixture scan
+    # gives only one input split) — and the Exchange doubles as a
+    # projection-collapse barrier, without which Catalyst inlines the
+    # split+distinct+hash pipeline into EVERY one of the 64 folds
+    # (measured 2.1 s → 0.4 s for the fold phase at sf1; same pathology
+    # as textutil's module docstring).
     docs = (
         t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id",
             F.transform(
                 F.array_distinct(F.split("text", " ")), lambda w: F.xxhash64(w)
             ).alias("hashes"),
         )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     # counts[i] = sum over token hashes of ±1 for bit i; bit positions are
     # unrolled statically because shiftright takes a literal shift.
@@ -1017,15 +1024,13 @@ def dedup_shared_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id", w.alias("w"), F.size(w).alias("nw")
     ).where(F.col("nw") >= SPAN_N)
+    from muurschilderingendatabase_etl_spark.queries.textutil import word_ngrams
+
+    # word_ngrams (slice+zip_with) builds all spans in one linear pass
+    # BEFORE the explode — the old explode-index-then-slice form paid
+    # the projection-collapse O(n²) tax (see textutil module docstring).
     g = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("nw") - SPAN_N)).alias("i"),
-        "w",
-    ).select(
-        "doc_id",
-        F.array_join(
-            F.slice(F.col("w"), F.col("i") + 1, SPAN_N), " "
-        ).alias("gram"),
+        "doc_id", F.explode(word_ngrams("w", SPAN_N)).alias("gram")
     )
     dup = (
         g.groupBy("gram")

@@ -206,20 +206,11 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", words.alias("w"))
         .where(F.size("w") >= 5)
     )
-    w = F.col("w")
-    shingle = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 5),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
-                F.element_at(w, i + 3),
-                F.element_at(w, i + 4),
-                F.element_at(w, i + 5),
-            )
-        ),
-    )
+    # slice+zip_with 5-gram builder: the transform(sequence…) form pays
+    # Catalyst's projection-collapse O(n²) tax (textutil docstring).
+    from muurschilderingendatabase_etl_spark.queries.textutil import word_ngrams
+
+    shingle = F.transform(word_ngrams("w", 5), lambda s: F.md5(s))
     shingles = (
         docs.select("doc_id", "source", F.explode(shingle).alias("sh"))
         .dropDuplicates(["doc_id", "sh"])

@@ -163,25 +163,17 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minimum hash per sliding window of 4 shingles, keep the
     distinct minima. Standard MOSS-style fingerprinting; fingerprints
     overlap ⇒ likely shared passages."""
-    # Materialize the words array as a column BEFORE indexing into it:
-    # referencing `F.split(...)` inside a transform lambda inlines the
-    # split per element access, turning shingling O(n) into O(n²).
+    # slice+zip_with n-gram/window builders — the transform(sequence…)
+    # forms pay Catalyst's projection-collapse O(n²) tax even when the
+    # array is projected as its own column first (textutil docstring).
+    from muurschilderingendatabase_etl_spark.queries.textutil import (
+        sliding_min,
+        word_ngrams,
+    )
+
     w = F.col("w")
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 3),
-        lambda i: F.xxhash64(
-            F.concat_ws(
-                " ",
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
-                F.element_at(w, i + 3),
-            )
-        ),
-    )
-    windows = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("sh")) - 4),
-        lambda i: F.array_min(F.slice(F.col("sh"), i + 1, 4)),
-    )
+    shingle_hashes = F.transform(word_ngrams(w, 3), lambda s: F.xxhash64(s))
+    windows = sliding_min("sh", 4)
     return (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("w"))
