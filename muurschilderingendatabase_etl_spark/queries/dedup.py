@@ -1024,13 +1024,20 @@ def dedup_shared_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id", w.alias("w"), F.size(w).alias("nw")
     ).where(F.col("nw") >= SPAN_N)
-    from muurschilderingendatabase_etl_spark.queries.textutil import word_ngrams
-
-    # word_ngrams (slice+zip_with) builds all spans in one linear pass
-    # BEFORE the explode — the old explode-index-then-slice form paid
-    # the projection-collapse O(n²) tax (see textutil module docstring).
+    # Explode the span INDEX and slice after the Generate: the exploded
+    # stream is the fastest gram form because Generate is itself a
+    # projection-collapse barrier (the textutil O(n²) pathology cannot
+    # reach through it) and each gram string is built exactly once.
+    # Measured at sf1 vs building the gram array pre-explode with
+    # word_ngrams: 2.0 s vs 7.1 s for the explode phase (see
+    # textutil.word_ngrams docstring for when the array form wins).
     g = d.select(
-        "doc_id", F.explode(word_ngrams("w", SPAN_N)).alias("gram")
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.col("nw") - SPAN_N)).alias("i"),
+    ).select(
+        "doc_id",
+        F.array_join(F.slice(F.col("w"), F.col("i") + 1, SPAN_N), " ").alias("gram"),
     )
     dup = (
         g.groupBy("gram")

