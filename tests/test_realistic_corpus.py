@@ -98,3 +98,49 @@ def test_incidental_pairs_bounded(real_dir):
     truth = _truth_pairs(real_dir)
     incidental = truth - pl - exact
     assert len(incidental) <= 2, f"vocab collisions are back: {incidental}"
+
+
+# --- second-distribution differential parity -------------------------------
+# The r5 minhash arity bug was caught only because a fixture refresh
+# changed the data distribution. Make that protection permanent: every
+# document-dependent oracle query must agree with DuckDB on the
+# realistic corpus too (different vocabulary, lengths, dup structure
+# than the driver fixture the main parity suite uses).
+
+_DOC_MODULES = {
+    "dedup", "quality", "textanalysis", "chunking_splits",
+    "search_index", "pii_safety", "multimodal",
+}
+
+
+def _doc_oracle_queries():
+    from muurschilderingendatabase_etl_spark import registry
+
+    qs, oracles = registry.all_queries(), registry.all_oracles()
+    return sorted(
+        n for n in oracles
+        if qs[n].__module__.rsplit(".", 1)[-1] in _DOC_MODULES
+    )
+
+
+@pytest.fixture(scope="module")
+def real_ddb(real_dir):
+    from muurschilderingendatabase_etl_spark.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{real_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _doc_oracle_queries())
+def test_doc_oracle_parity_on_realistic_corpus(name, spark, real_dir, real_ddb):
+    from muurschilderingendatabase_etl_spark import registry
+    from tests.parity import assert_parity
+
+    spark_pdf = registry.all_queries()[name](spark, real_dir).toPandas()
+    oracle_pdf = real_ddb.sql(registry.all_oracles()[name]).df()
+    assert_parity(spark_pdf, oracle_pdf, name=f"{name}@realistic")
