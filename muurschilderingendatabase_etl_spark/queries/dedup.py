@@ -195,18 +195,26 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         return (
-            df.select("doc_id", "source", "n", "kb", F.explode(pairs).alias("p"))
-            .select("doc_id", "source", "n", "kb", "p.cid", "p.th")
-            .groupBy("doc_id", "source", "n", "kb", "cid")
+            df.select("doc_id", "source", "n", "bk", "kb", F.explode(pairs).alias("p"))
+            .select("doc_id", "source", "n", "bk", "kb", "p.cid", "p.th")
+            .groupBy("doc_id", "source", "n", "bk", "kb", "cid")
             .agg(F.bit_xor("th").alias("chash"))
         )
 
-    sig_a = signatures(docs.withColumn("kb", F.col("bk"))).alias("a")
-    sig_b = signatures(
+    # One signature DEFINITION serves both join sides: the a-side (each
+    # pair examined under A's own bucket) is exactly the kb == bk
+    # subset of the b-side's {bk-1, bk, bk+1} expansion. Catalyst
+    # pushes the filter below the aggregate and the kb explode, so the
+    # physical a-side is identical to building it separately (no
+    # ReusedExchange, verified) — this form is purely the clearer
+    # statement of the relationship.
+    sigs = signatures(
         docs.withColumn(
             "kb", F.explode(F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1))
         )
-    ).alias("b")
+    )
+    sig_a = sigs.where(F.col("kb") == F.col("bk")).alias("a")
+    sig_b = sigs.alias("b")
     size_band = (
         (F.col("a.n").cast("double") >= F.col("b.n") * _JACCARD_TAU)
         & (F.col("b.n").cast("double") >= F.col("a.n") * _JACCARD_TAU)
