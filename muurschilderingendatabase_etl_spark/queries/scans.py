@@ -514,3 +514,100 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+LAST_MERGE_DIR: str | None = None
+
+
+@query(
+    "sink_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      WHERE event_id % 3 != 0
+    ),
+    chg AS (
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+             'corrected' AS event_type, value * 2 AS value, 'upsert' AS op
+      FROM events WHERE event_id % 5 = 0
+      UNION ALL
+      SELECT event_id, ts, user_id, event_type, value, 'delete' AS op
+      FROM events WHERE event_id % 7 = 0 AND event_id % 5 != 0
+    ),
+    merged AS (
+      SELECT b.* FROM base b LEFT JOIN chg c USING (event_id)
+      WHERE c.event_id IS NULL
+      UNION ALL
+      SELECT event_id, ts, user_id, event_type, value
+      FROM chg WHERE op = 'upsert'
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM merged GROUP BY event_type
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE materialization — the missing half of
+    `pipeline_incremental_upsert` (which is the merge-on-READ shape):
+    a base snapshot is written as table version v0, a changelog of
+    upserts and deletes is merged with real MERGE semantics
+    (WHEN MATCHED AND op='delete' THEN DELETE / WHEN MATCHED THEN
+    UPDATE / WHEN NOT MATCHED AND op!='delete' THEN INSERT), and the
+    reconciled table is written as version v1 next to a JSON manifest
+    recording the version lineage — the mechanics a Delta/Iceberg
+    MERGE performs under its transaction log (neither package ships in
+    this container, so the log is a single-writer manifest; the
+    DATAFLOW is the real thing). The returned aggregate re-reads v1
+    from disk, so parity proves the merged FILES, not just the plan.
+
+    Merge plan shape: untouched rows = one left_anti join on the key;
+    upserted/inserted rows come straight from the changelog (already
+    latest-wins) — no window, no global sort; both sides shuffle once
+    on event_id. At 100 TB the anti-join prunes with a changelog-key
+    bloom filter and the rewrite touches only affected partitions."""
+    global LAST_MERGE_DIR
+    import json as _json
+
+    root = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_merge_"))
+    LAST_MERGE_DIR = root
+    v0, v1 = os.path.join(root, "v0"), os.path.join(root, "v1")
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.where(F.col("event_id") % 3 != 0).write.mode("overwrite").parquet(v0)
+
+    chg = (
+        ev.where(F.col("event_id") % 5 == 0)
+        .select(
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+            "user_id",
+            F.lit("corrected").alias("event_type"),
+            (F.col("value") * 2).alias("value"),
+            F.lit("upsert").alias("op"),
+        )
+        .unionByName(
+            ev.where((F.col("event_id") % 7 == 0) & (F.col("event_id") % 5 != 0))
+            .withColumn("op", F.lit("delete"))
+        )
+    )
+    base = spark.read.parquet(v0)
+    untouched = base.join(chg.select("event_id"), "event_id", "left_anti")
+    applied = chg.where(F.col("op") == "upsert").drop("op")
+    untouched.unionByName(applied).write.mode("overwrite").parquet(v1)
+    with open(os.path.join(root, "manifest.json"), "w") as fh:
+        _json.dump(
+            {"current_version": 1, "versions": {"0": "v0", "1": "v1"},
+             "parent": {"1": 0}, "merge_key": "event_id"}, fh,
+        )
+
+    return (
+        spark.read.parquet(v1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -335,3 +335,43 @@ def test_geo_fixture_clear_of_ulp_boundary():
         ).fetchone()
         assert gap >= 1e-6, f"{sf}: pair within {gap} km of the 500 km cut"
         assert min_d == 0.0, f"{sf}: nearest_km degeneracy assumption broken"
+
+
+def test_merge_upsert_cow_semantics(spark):
+    """sink_merge_upsert writes real files: v1 must contain no deleted
+    key, every upserted key exactly once with the corrected values
+    (including keys absent from the base = inserts), and untouched base
+    rows byte-identical; the manifest records the version lineage."""
+    import json
+    import os
+
+    from muurschilderingendatabase_etl_spark.queries import scans
+
+    registry.all_queries()["sink_merge_upsert"](spark, SF_DIR).collect()
+    root = scans.LAST_MERGE_DIR
+    assert root and os.path.exists(os.path.join(root, "manifest.json"))
+    manifest = json.load(open(os.path.join(root, "manifest.json")))
+    assert manifest["current_version"] == 1 and manifest["merge_key"] == "event_id"
+
+    v0 = spark.read.parquet(os.path.join(root, "v0"))
+    v1 = spark.read.parquet(os.path.join(root, "v1"))
+    # deletes: %7==0, %5!=0 keys present in v0 must be gone from v1
+    deleted = v0.where(
+        (F.col("event_id") % 7 == 0) & (F.col("event_id") % 5 != 0)
+    ).select("event_id")
+    assert v1.join(deleted, "event_id").count() == 0
+    # upserts: every %5==0 key appears exactly once, corrected
+    up = v1.where(F.col("event_id") % 5 == 0)
+    n_keys = t(spark, SF_DIR, "events").where(
+        F.col("event_id") % 5 == 0
+    ).select("event_id").distinct().count()
+    assert up.count() == n_keys
+    assert up.where(F.col("event_type") != "corrected").count() == 0
+    # inserts happened: some upserted keys were NOT in the base (%3==0)
+    assert up.where(F.col("event_id") % 3 == 0).count() > 0
+    # untouched rows match the base exactly
+    chg_keys = ((F.col("event_id") % 5 == 0) | (F.col("event_id") % 7 == 0))
+    assert (
+        v0.where(~chg_keys).exceptAll(v1.where(~chg_keys)).count() == 0
+        and v1.where(~chg_keys).exceptAll(v0.where(~chg_keys)).count() == 0
+    )
