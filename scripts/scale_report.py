@@ -112,7 +112,9 @@ def main() -> None:
         old = open(a.out).read()
         marker = "<!-- hand-written analysis appended below; regenerate above only -->"
         if marker in old:
-            lines[-2:] = [old.split(marker, 1)[1].lstrip("\n")]
+            # keep the marker itself so the NEXT regeneration still
+            # finds it (replacing it used to orphan the notes)
+            lines[-1:] = [old.split(marker, 1)[1].lstrip("\n")]
     except FileNotFoundError:
         pass
     open(a.out, "w").write("\n".join(lines) + "\n")
