@@ -519,6 +519,19 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
 LAST_MERGE_DIR: str | None = None
 
 
+def _merge_frames(base: DataFrame, chg: DataFrame) -> DataFrame:
+    """MERGE semantics on DataFrames (matched delete / matched update /
+    unmatched insert): untouched base rows via one left_anti join on the
+    key, plus the changelog's upsert rows wholesale (already
+    latest-wins). Exposed separately so tests can assert the merge
+    PLAN (hash anti-join, no cartesian) — the operator itself
+    materializes the result eagerly, hiding this subtree behind the
+    parquet re-read."""
+    untouched = base.join(chg.select("event_id"), "event_id", "left_anti")
+    applied = chg.where(F.col("op") == "upsert").drop("op")
+    return untouched.unionByName(applied)
+
+
 @query(
     "sink_merge_upsert",
     oracle="""
@@ -594,9 +607,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base = spark.read.parquet(v0)
-    untouched = base.join(chg.select("event_id"), "event_id", "left_anti")
-    applied = chg.where(F.col("op") == "upsert").drop("op")
-    untouched.unionByName(applied).write.mode("overwrite").parquet(v1)
+    _merge_frames(base, chg).write.mode("overwrite").parquet(v1)
     with open(os.path.join(root, "manifest.json"), "w") as fh:
         _json.dump(
             {"current_version": 1, "versions": {"0": "v0", "1": "v1"},

@@ -439,3 +439,27 @@ def test_global_rank_queries_have_no_single_partition_exchange(spark):
         assert "SinglePartition" not in p, f"{name} plan funnels to one task"
         # the ranker's offset join must stay broadcast (P tiny rows)
         assert "BroadcastHashJoin" in p
+
+
+def test_merge_upsert_antijoin_no_cartesian(spark):
+    """The MERGE's untouched-rows branch must be a hash anti-join on the
+    key (broadcast or shuffled) — a BNLJ/cartesian here would scan
+    base x changelog at 100 TB. The operator materializes eagerly, so
+    assert on the exposed merge-frame builder's plan."""
+    import pyspark.sql.functions as F
+
+    from muurschilderingendatabase_etl_spark.queries.scans import _merge_frames
+    from muurschilderingendatabase_etl_spark.tables import t
+
+    ev = t(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    chg = ev.limit(10).withColumn("op", F.lit("upsert"))
+    df = _merge_frames(ev, chg)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
