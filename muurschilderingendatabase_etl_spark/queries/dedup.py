@@ -1067,3 +1067,4 @@ def dedup_shared_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_flagged"),
         )
     )
+

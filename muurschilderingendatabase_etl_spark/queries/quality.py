@@ -261,3 +261,159 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+_BLOOM_BITS = 1 << 16  # 8 KB bitmap (1024 longs)
+_BLOOM_K = 3           # probes per gram
+# pow2[i] = 1<<i as a signed long (bit 63 wraps negative); a literal
+# lookup array because shiftleft/shiftright Column-shift amounts aren't
+# reachable inside HOF lambdas through the Python wrappers.
+_POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+@query(
+    "contamination_bloom_prefilter",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, source,
+        md5(sh) AS sh
+      FROM (
+        SELECT doc_id, source,
+          unnest(list_transform(
+            generate_series(1, len(w) - 4),
+            i -> array_to_string(w[i:i+4], ' ')
+          )) AS sh
+        FROM docs
+      )
+    ),
+    bench AS (
+      SELECT DISTINCT sh FROM shingles
+      WHERE source = 'src0' AND doc_id < 1000
+    )
+    SELECT source,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs
+    FROM shingles JOIN bench USING (sh)
+    WHERE source <> 'src0'
+    GROUP BY source
+    """,
+)
+def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contamination_ngram_overlap's scale twin: a BLOOM PREFILTER makes
+    'does this doc share any 5-gram with the benchmark?' affordable at
+    corpus scale. The benchmark here is a FIXED eval slice (src0 with
+    doc_id < 1000) — the realistic contamination setting: eval sets are
+    thousands of grams no matter how big the corpus grows, which is
+    precisely what keeps a kilobyte filter honest at any scale (the
+    first cut of this operator bloomed the whole of src0; at sf1 that
+    is 125k grams and a 2^16-bit filter saturates to all-ones —
+    screening everything, pruning nothing). The benchmark side is
+    summarized ONCE into a k-probe bitmap and every candidate gram is
+    screened MAP-SIDE against the kilobyte filter right after the
+    Generate — pruned grams are never digested, deduplicated or
+    shuffled; only might-contain survivors pay the exact digest join. False negatives are impossible (every benchmark
+    gram sets its bits), so prefilter + exact verify computes the exact
+    join's answer — the oracle is that plain join.
+
+    The filter is built with pure codegen expressions (explode the k
+    xxhash64 probe positions per benchmark gram → bit_or per 64-bit
+    word) because Spark's internal bloom_filter_agg isn't exposed to
+    SQL; the ≤ 8 KB word array comes back to the driver and is inlined
+    as a constant-folded literal — the same ship-the-summary discipline
+    as the IVF centroids, and what a runtime bloom join filter
+    broadcasts. The doc-level screen is F.exists over the gram array
+    (array form is right here: no explode happens for pruned docs). At
+    100 TB the benchmark filter is built once and reused per ingest
+    batch. FP budget: m=2^16, k=3 at the fixture's ~10³ benchmark grams
+    → ~1e-4 per probe; FPs only cost verify work.
+    """
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 5)
+    )
+
+    def probe_positions(gram, j):
+        return F.pmod(F.xxhash64(gram, F.lit(j)), F.lit(_BLOOM_BITS))
+
+    bench_docs = docs.where(
+        (F.col("source") == "src0") & (F.col("doc_id") < 1000)
+    )
+    bench_grams = bench_docs.select(
+        "doc_id",
+        "source",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.size("w") - 5)).alias("i"),
+    ).select(
+        F.array_join(F.slice(F.col("w"), F.col("i") + 1, 5), " ").alias("g")
+    )
+    words = (
+        bench_grams.select(
+            F.explode(
+                F.array(*[probe_positions(F.col("g"), j) for j in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .groupBy((F.col("pos") / 64).cast("int").alias("wi"))
+        # SQL shiftleft accepts a column shift (the Python wrapper
+        # doesn't), hence the expr string.
+        .agg(F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (_BLOOM_BITS // 64)
+    for r in words:
+        bitmap[r.wi] = r.bits
+    bm = F.array(*[F.lit(v).cast("long") for v in bitmap])
+    pw2 = F.array(*[F.lit(v).cast("long") for v in _POW2])
+
+    def might_contain(gram):
+        hit = None
+        for j in range(_BLOOM_K):
+            p = probe_positions(gram, j)
+            word = F.element_at(bm, (p / F.lit(64)).cast("int") + 1)
+            bit = F.element_at(pw2, F.pmod(p, F.lit(64)).cast("int") + 1)
+            h = word.bitwiseAND(bit) != 0
+            hit = h if hit is None else (hit & h)
+        return hit
+
+    # Gram-level screen in the stream form (explode the index, build
+    # each gram once after the Generate — textutil decision rule 2):
+    # the bloom predicate sits BETWEEN the Generate and the md5 +
+    # dedup + shuffle, so pruned grams never get digested, deduplicated
+    # or moved. 3 xxhash64 probes per gram replace an md5 + exchange
+    # for the clean majority.
+    surv_shingles = (
+        docs.where(F.col("source") != "src0")
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.size("w") - 5)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.array_join(F.slice(F.col("w"), F.col("i") + 1, 5), " ").alias("g"),
+        )
+        .where(might_contain(F.col("g")))
+        .select("doc_id", "source", F.md5("g").alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
+    bench = (
+        bench_docs
+        .select(
+            "w", F.explode(F.sequence(F.lit(0), F.size("w") - 5)).alias("i")
+        )
+        .select(
+            F.md5(F.array_join(F.slice(F.col("w"), F.col("i") + 1, 5), " ")).alias("sh")
+        )
+        .distinct()
+    )
+    return (
+        surv_shingles.join(bench, "sh")
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_contaminated_docs"))
+    )
