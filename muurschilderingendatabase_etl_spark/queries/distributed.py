@@ -9,11 +9,16 @@ no driver-side counts pass:
 
 1. ``repartitionByRange`` on the sort keys gives each partition one
    contiguous key range, with partition id increasing in key order
-   (RangePartitioner invariant; boundary sampling is deterministic per
-   input, so both consumers of the exchange see the same assignment —
-   and ``spark.sql.exchange.reuse`` shares the physical shuffle
-   anyway). The partition count is passed explicitly so AQE never
-   re-plans it.
+   (RangePartitioner invariant). The ranged frame is then
+   ``localCheckpoint``-ed (lazily) BEFORE the plan forks: both the
+   counts branch and the main branch read the same materialized
+   partitions, so identical partition assignment is guaranteed by
+   construction — it does NOT depend on ``spark.sql.exchange.reuse``
+   or on RangePartitioner's boundary sampling being deterministic
+   across two executions (r5 ADVICE: with reuse disabled and a
+   nondeterministic upstream, two independent exchanges could sample
+   different boundaries and silently mis-number rows). The partition
+   count is passed explicitly so AQE never re-plans it.
 2. Main branch: ``sortWithinPartitions`` + ``monotonically_increasing_
    id`` assign each row ``pid * 2^33 + local_index`` in sort order —
    fully parallel, same stage, no extra shuffle and no global sort.
@@ -60,7 +65,11 @@ def with_global_row_number(
     """
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    base = df.repartitionByRange(n_parts, *order_by)
+    # Lazy localCheckpoint: the range shuffle's output is materialized
+    # once (on first action) and BOTH branches below read those stored
+    # partitions — partition assignment is provably identical across the
+    # fork regardless of exchange-reuse or boundary-sampling behavior.
+    base = df.repartitionByRange(n_parts, *order_by).localCheckpoint(eager=False)
 
     counts = (
         base.select(F.spark_partition_id().alias("_pid"))

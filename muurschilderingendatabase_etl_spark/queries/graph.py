@@ -41,6 +41,11 @@ N_ITER = 8
 # tests/test_plans.py::test_pagerank_nonbroadcast_path forces this path
 # via monkeypatch and diffs it against the broadcast path's output.
 BROADCAST_MAX_NODES = 2_000_000
+# Production default: the fallback path checkpoints the final ranks and
+# releases the edge cache before returning (r5 ADVICE — the persist
+# otherwise outlives the query in a long-lived session). Tests flip this
+# off to introspect the lazy fallback plan (InMemoryTableScan assertion).
+_RELEASE_FALLBACK_CACHE = True
 
 
 def _pagerank_oracle() -> str:
@@ -157,4 +162,13 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # iteration to materialize.
         if i < N_ITER:
             ranks = ranks.localCheckpoint()
-    return ranks.select("node", F.round("pr", 6).alias("pr"))
+    out = ranks.select("node", F.round("pr", 6).alias("pr"))
+    if not use_broadcast and _RELEASE_FALLBACK_CACHE:
+        # The shuffle path pinned the edge table with persist(); release
+        # that executor storage before returning (r5 ADVICE: it otherwise
+        # leaks across subsequent queries in a long-lived session). The
+        # final iteration is checkpointed first so the returned frame no
+        # longer depends on the cache being populated.
+        out = out.localCheckpoint()
+        e.unpersist()
+    return out

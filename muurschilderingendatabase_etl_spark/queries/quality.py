@@ -325,8 +325,9 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     SQL; the ≤ 8 KB word array comes back to the driver and is inlined
     as a constant-folded literal — the same ship-the-summary discipline
     as the IVF centroids, and what a runtime bloom join filter
-    broadcasts. The doc-level screen is F.exists over the gram array
-    (array form is right here: no explode happens for pruned docs). At
+    broadcasts. The screen is applied per GRAM, immediately after the
+    Generate (a doc-level F.exists pre-screen was measured slower —
+    see the inline note at the screen site). At
     100 TB the benchmark filter is built once and reused per ingest
     batch. FP budget: m=2^16, k=3 at the fixture's ~10³ benchmark grams
     → ~1e-4 per probe; FPs only cost verify work.
@@ -384,7 +385,12 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     # the bloom predicate sits BETWEEN the Generate and the md5 +
     # dedup + shuffle, so pruned grams never get digested, deduplicated
     # or moved. 3 xxhash64 probes per gram replace an md5 + exchange
-    # for the clean majority.
+    # for the clean majority. A doc-LEVEL pre-screen (F.exists over the
+    # gram indices before the Generate) was tried and measured SLOWER
+    # (5.7 s vs 4.3 s warm at sf0.1): every gram gets built for the
+    # exists scan anyway, surviving docs then rebuild them all after
+    # the explode, and the only thing saved — the Generate itself —
+    # is cheaper than the rebuild. The screen lives at gram level only.
     surv_shingles = (
         docs.where(F.col("source") != "src0")
         .select(

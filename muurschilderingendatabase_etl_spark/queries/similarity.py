@@ -294,83 +294,100 @@ def similarity_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_K = 16       # coarse centroids
-_IVF_ITERS = 3    # Lloyd's iterations
+_IVF_ITERS = 10   # Lloyd's iterations (driver-side NumPy on the sample)
 _IVF_NPROBE = 4   # cells probed per query (25% of cells; recall ≥0.88 measured)
+_IVF_TRAIN_SAMPLE = 4096  # bounded training sample (k*256; ~2 MB at dim 64)
 
 
 @query("similarity_ivf_ann")  # rows-only: centroid training is engine-internal
 def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors: k-means coarse quantizer
-    (Lloyd's iterations as DataFrame ops), inverted cell assignment,
-    nprobe-cell search with exact cosine re-rank.
+    trained on a bounded sample, inverted cell assignment, nprobe-cell
+    search with exact cosine re-rank.
 
-    Scale shape: centroids are tiny (k×dim) and live on the DRIVER
-    between iterations (the spark.ml KMeans shape): assignment is a
-    pure map-side expression — k distance folds + a least() over
-    (d2, cid) structs built from centroid LITERALS — so NO shuffle
-    touches the vectors during training (the old broadcast-crossJoin +
-    argmin-window shape shuffled every vector per iteration: ~1.6 GB ×
-    4 passes at sf1, measured 18.7 s → the fix below). The update step
-    (posexplode → partial avg per (cell, dim)) map-side-combines to
-    k×dim rows per partition before its shuffle. Search probes only
-    nprobe cells per query with an exact cosine re-rank. At 100 TB the
-    assignment table is the persisted index; training and search are
-    separate jobs sharing it.
+    Scale shape (the FAISS-standard IVF posture): the coarse quantizer
+    is trained on a BOUNDED deterministic sample — one distributed
+    top-N by hash order (TakeOrdered: per-partition top-N + driver
+    merge, never a global sort) collects ≤ k*256 vectors (~2 MB), and
+    Lloyd's iterations run driver-side in NumPy in microseconds. The
+    full corpus is then assigned in ONE map-side pass: k distance folds
+    over a centroid LITERAL matrix + an array_min argmin — no shuffle
+    ever touches the vectors. This replaced r4/r5's full-corpus
+    distributed Lloyd (one assignment job + one k×dim-combining update
+    shuffle PER iteration — correct shape but 5 cluster jobs whose
+    fixed latency dominated at bench SF, 6.6 s in BENCH_r05, and pure
+    overkill: quantizer quality needs a sample, not the corpus). The
+    literal matrix form also keeps the generated code size independent
+    of k (a transform loop over an array-of-arrays literal, not k
+    unrolled folds). Search probes only nprobe cells per query with an
+    exact cosine re-rank. At 100 TB the assignment table is the
+    persisted index; training and search are separate jobs sharing it.
 
-    Quality: recall@5 vs brute force measured 0.90/0.88/0.92 at
-    sf0.001/0.01/0.1 with nprobe=4 (floor 0.8,
-    tests/test_similarity.py). The search stage carries an `observe`
-    metric (`ivf_search.n_candidates`) so production runs can monitor
-    how much of the corpus each query actually scanned.
+    Quality: recall@5 vs brute force ≥ the 0.8 floor at
+    sf0.001/0.01/0.1 with nprobe=4 (tests/test_similarity.py). The
+    search stage carries an `observe` metric
+    (`ivf_search.n_candidates`) so production runs can monitor how
+    much of the corpus each query actually scanned.
     """
-    # cache(): every Lloyd iteration re-uses the cast vectors; without it
-    # each of the ~5 jobs re-scans the parquet and re-casts the arrays —
-    # the canonical iterative-algorithm pattern (same as ml.clustering).
+    import numpy as np
+
+    # cache(): the sample job, the assignment pass and the query lookup
+    # all re-use the cast vectors.
     emb = (
         t(spark, sf_dir, "embeddings")
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .cache()
     )
-    # deterministic init: first k vectors are the seed centroids.
-    # Centroids live on the driver as plain lists between iterations —
-    # k×dim doubles, the same thing a broadcast would ship — so the
-    # per-vector argmin is a literal expression, not a join.
-    cent: list[tuple[int, list[float]]] = sorted(
-        (int(r.vec_id), [float(x) for x in r.v])
-        for r in emb.where(F.col("vec_id") < _IVF_K).collect()
+    # Deterministic bounded sample: top-N by xxhash64(vec_id) order —
+    # a distributed TakeOrdered, O(corpus) scan with per-partition
+    # top-N, driver receives ≤ _IVF_TRAIN_SAMPLE rows regardless of
+    # corpus size.
+    sample = (
+        emb.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(_IVF_TRAIN_SAMPLE)
+        .collect()
     )
+    # Seed determinism: the k sample vectors with the smallest vec_id.
+    sample.sort(key=lambda r: int(r.vec_id))
+    X = np.array([[float(x) for x in r.v] for r in sample])
+    C = X[:_IVF_K].copy()
+    for _ in range(_IVF_ITERS):
+        # assign: argmin squared distance (ties -> lowest cid, argmin's
+        # first-match rule)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        newC = C.copy()  # empty cell keeps its old centroid
+        for j in range(_IVF_K):
+            m = a == j
+            if m.any():
+                newC[j] = X[m].mean(axis=0)
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    cent: list[tuple[int, list[float]]] = [
+        (j, [float(x) for x in C[j]]) for j in range(_IVF_K)
+    ]
 
     def assign_expr(cents: list[tuple[int, list[float]]]):
-        """nearest-centroid cid as a map-side expression: one distance
-        fold per centroid literal, argmin via least() over (d2, cid)
-        structs (lexicographic struct order = the (d2, cid) tie-break
-        the old argmin window used)."""
-        structs = []
-        for cid, cv in cents:
-            cl = F.array(*[F.lit(x) for x in cv])
-            d2 = F.aggregate(
-                F.zip_with(F.col("v"), cl, lambda x, y: (x - y) * (x - y)),
+        """nearest-centroid cid as one map-side expression: a transform
+        loop over the centroid literal matrix (generated-code size is
+        O(1) in k) + array_min over (d2, cid) structs (lexicographic
+        struct order = the (d2, cid) tie-break)."""
+        cid_arr = F.array(*[F.lit(c).cast("int") for c, _ in cents])
+        cmat = F.array(*[F.array(*[F.lit(x) for x in cv]) for _, cv in cents])
+        d2s = F.transform(
+            cmat,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0),
                 lambda acc, z: acc + z,
-            )
-            structs.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
-        return F.least(*structs)["cid"]
-
-    for _ in range(_IVF_ITERS):
-        assigned = emb.withColumn("cid", assign_expr(cent))
-        # element-wise mean per cell: posexplode -> avg per (cid, pos)
-        # (map-side combined to <= k*dim rows per partition) -> driver
-        cent = sorted(
-            (int(r.cid), [m for _, m in sorted((int(p), float(m)) for p, m in r.pm)])
-            for r in (
-                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(F.avg("x").alias("m"))
-                .groupBy("cid")
-                .agg(F.collect_list(F.struct("pos", "m")).alias("pm"))
-                .collect()
-            )
+            ),
         )
+        structs = F.zip_with(
+            d2s, cid_arr, lambda d, c: F.struct(d.alias("d2"), c.alias("cid"))
+        )
+        return F.array_min(structs)["cid"]
+
     index = emb.withColumn("cid", assign_expr(cent)).select("vec_id", "v", "cid")
     centroids = spark.createDataFrame(
         [(cid, cv) for cid, cv in cent], "cid int, cv array<double>"

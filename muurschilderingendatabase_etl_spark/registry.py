@@ -16,6 +16,7 @@ Conventions (driver contract, see repo README):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from typing import Optional
 
@@ -46,40 +47,53 @@ def load_all() -> None:
     from muurschilderingendatabase_etl_spark import queries as _  # noqa: F401
 
 
-# Query names hash-verified by the round driver in CORRECTNESS_r01–r04.json.
-# The driver checks a fixed-size PREFIX of the registry ordering each round
-# (r3 and r4 windows were identical), so ordering never-checked queries first
-# maximizes fresh external verification per round. Regenerate with:
-#   python -c "import json;print(sorted(set().union(*[json.load(open(f)) for f in glob.glob('CORRECTNESS_r*.json')])))"
-_DRIVER_CHECKED: frozenset[str] = frozenset({
-    "agg_approx_count_distinct", "agg_approx_percentile", "agg_conditional",
-    "agg_count_distinct", "agg_cube", "agg_grouping_sets", "agg_having",
-    "agg_min_by_max_by", "agg_min_max", "agg_pricing_summary", "agg_rollup",
-    "array_collect_sorted", "array_explode_tokens", "array_higher_order",
-    "array_ops_embeddings", "chunk_fixed_windows", "dedup_connected_components",
-    "dedup_embedding_cosine", "dedup_exact_hash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "filter_between_distinct", "filter_isin", "filter_null_safe_eq",
-    "filter_rlike", "flagship_revenue_by_nation", "funnel_signup_purchase",
-    "geo_distance_join_grid", "graph_pagerank_fixed", "heavy_hitters_two_pass",
-    "index_doc_frequency", "index_posting_lists", "join_asof_event_order",
-    "join_broadcast_dim", "join_cross", "join_full_outer", "join_inner_three_way",
-    "join_left_anti", "join_left_outer", "join_left_semi", "join_right_outer",
-    "join_theta_range", "json_extract_props", "json_variant_extract", "map_lookup_remap",
-    "multimodal_feature_extract", "multimodal_frame_sample", "multimodal_metadata",
-    "multimodal_resize_plan", "pii_quarantine_split", "pii_redact_mask",
-    "pipeline_training_data_prep", "pivot_segment_by_year", "project_computed_columns",
-    "quality_gopher_gates", "quality_repetition_dupwords", "rdf_graph_pipeline",
-    "rdf_rest_source_scan", "rdf_turtle_roundtrip", "retention_weekly_cohorts",
-    "scalar_calendar_arith", "scalar_date_fns", "scalar_null_combinators",
-    "scalar_regexp_extract", "scalar_string_fns", "scan_csv_roundtrip", "scan_parquet_pushdown",
-    "setop_except_all", "setop_union_all_counts", "setop_union_distinct",
-    "similarity_lsh_ann", "similarity_topk_bruteforce", "sort_global_topk",
-    "sort_multi_key", "split_train_valid_test", "sql_local_supplier_volume",
-    "sql_shipping_priority", "stats_corr_moments", "stream_sliding_window",
-    "stream_tumbling_window", "subq_scalar_correlated", "subq_scalar_uncorrelated",
-    "text_lang_id", "text_quality_score", "timeseries_resample_ffill", "udf_pandas_vectorized",
-    "udf_scalar_python", "window_rank_dense_rank", "window_topk_per_group",
-})
+def _last_verified_round() -> dict[str, int]:
+    """Per-query round of the most recent SUCCESSFUL external verification,
+    parsed from the committed ``CORRECTNESS_r*.json`` driver artifacts.
+
+    A query counts as verified in round N if its record there is a hash
+    match, or — for rows-only queries (no oracle by driver contract) — it
+    ran and produced rows. A query whose LATEST record is a failure is
+    treated as never-verified (round 0), so rewritten or previously
+    crashing implementations are always re-queued for external checking.
+    Queries absent from every artifact are round 0 too.
+
+    This replaces the hand-maintained ``_DRIVER_CHECKED`` frozenset (stale
+    at r5 close — VERDICT r5 item 1) with a set that can't go stale, and
+    it addresses the r5 ADVICE objection that a one-way fresh/seen split
+    permanently shields already-checked queries from re-verification:
+    ordering is least-recently-verified FIRST, so once every query has
+    been covered the driver's prefix window rotates back over the oldest
+    verifications — every implementation gets periodically re-checked.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                records = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(records, dict):
+            continue
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                continue
+            hash_ok = rec.get("hash_match") is True
+            rows_only_ran = (
+                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            )
+            # files are processed in round order, so the last write wins
+            last[name] = rnd if (hash_ok or rows_only_ran) else 0
+    return last
 
 
 def _module_round_robin_order() -> list[str]:
@@ -105,12 +119,14 @@ def _module_round_robin_order() -> list[str]:
                 order.append(b[i])
         buckets = [b for b in buckets if len(b) > i + 1]
         i += 1
-    # Stable-partition: queries the driver has never hash-verified go first
-    # (the driver checks a prefix window), already-verified ones after —
-    # both halves keep the module-interleaved order.
-    fresh = [n for n in order if n not in _DRIVER_CHECKED]
-    seen = [n for n in order if n in _DRIVER_CHECKED]
-    return fresh + seen
+    # Least-recently-verified first (see _last_verified_round): the driver
+    # checks a prefix window, so this maximizes fresh external coverage
+    # while still cycling re-verification over old passes once coverage is
+    # complete. Ties (same round, incl. never-verified) keep the
+    # module-interleaved order so any window samples every category.
+    last = _last_verified_round()
+    pos = {n: i for i, n in enumerate(order)}
+    return sorted(order, key=lambda n: (last.get(n, 0), pos[n]))
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -380,6 +380,9 @@ def test_pagerank_nonbroadcast_path_same_ranks(spark, monkeypatch):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        # Plan introspection needs the lazy frame: keep the edge cache
+        # alive for this first run only.
+        monkeypatch.setattr(graph, "_RELEASE_FALLBACK_CACHE", False)
         df = graph.graph_pagerank_fixed(spark, SF_DIR)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -388,6 +391,16 @@ def test_pagerank_nonbroadcast_path_same_ranks(spark, monkeypatch):
         assert "InMemoryTableScan" in p
         assert "BroadcastHashJoin" not in p
         got = {(r.node, r.pr) for r in df.collect()}
+        spark.catalog.clearCache()  # drop the deliberately-kept cache
+        # Production default releases the edge cache before returning
+        # (r5 ADVICE): same ranks, and no persisted RDD left behind.
+        monkeypatch.setattr(graph, "_RELEASE_FALLBACK_CACHE", True)
+        df2 = graph.graph_pagerank_fixed(spark, SF_DIR)
+        got2 = {(r.node, r.pr) for r in df2.collect()}
+        assert got2 == base
+        # the returned frame is checkpointed, so it no longer depends on
+        # the (now released) edge cache
+        assert "ExistingRDD" in df2._jdf.queryExecution().simpleString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert got == base
