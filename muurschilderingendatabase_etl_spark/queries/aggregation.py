@@ -105,41 +105,102 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # rows-only: sketch values differ per engine
+@query(
+    "agg_approx_count_distinct",
+    # Banded oracle (r5 VERDICT item 6): raw sketch estimates differ per
+    # engine, so the externally-checked contract is (a) the exact value
+    # matches DuckDB and (b) the HLL++ estimate lands within the declared
+    # 5% band of it — Spark emits the band check as a boolean, the oracle
+    # emits TRUE, and the driver's value hash enforces both.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyperLogLog++: the scale path for distinct counting — constant
-    # memory, mergeable across partitions, one narrow aggregation.
+    # memory, mergeable across partitions, one narrow aggregation. The
+    # exact count rides the same groupBy ONLY to make the accuracy band
+    # externally checkable; production uses the approx column alone.
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            ).alias("within_5pct"),
         )
     )
 
 
-@query("agg_hll_sketch_mergeable")  # rows-only: sketch estimates are engine-specific
+@query(
+    "agg_hll_sketch_mergeable",
+    # Banded oracle (r5 VERDICT item 6): Datasketches estimates are
+    # engine-specific, so the checked contract is the exact per-segment
+    # and merged-global distincts (vs DuckDB) plus a boolean asserting
+    # every estimate lands within 5% of its exact value.
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_5pct
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'ALL' AS segment,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_5pct
+    FROM customer
+    """,
+)
 def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasketches HLL: per-segment sketches built in one pass over
     customer, then MERGED (hll_union_agg) into the global estimate
     without rescanning the data — the 100 TB pattern for distinct
     counts: build sketches per partition/day at ingest, answer any
     rollup later by merging kilobyte sketches instead of re-reading
-    terabytes. Estimate accuracy is regression-tested against the exact
-    count in tests/test_plans.py."""
+    terabytes. The exact counts ride along only to make the accuracy
+    band externally checkable (and are also regression-tested in
+    tests/test_plans.py); production keeps the sketches."""
     seg_sketches = (
         t(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
-        .agg(F.hll_sketch_agg("c_custkey", 14).alias("sk"))
+        .agg(
+            F.hll_sketch_agg("c_custkey", 14).alias("sk"),
+            F.countDistinct("c_custkey").alias("exact_customers"),
+        )
     )
     per_segment = seg_sketches.select(
         F.col("c_mktsegment").alias("segment"),
         F.hll_sketch_estimate("sk").alias("approx_customers"),
+        "exact_customers",
     )
+    # Global row via sketch MERGE (hll_union_agg) — no raw rescan. The
+    # exact global distinct is the sum of per-segment exacts because
+    # c_custkey is the table key (each key in exactly one segment).
     merged = seg_sketches.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers")
-    ).select(F.lit("ALL").alias("segment"), "approx_customers")
-    return per_segment.unionByName(merged).orderBy("segment")
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+        F.sum("exact_customers").alias("exact_customers"),
+    ).select(F.lit("ALL").alias("segment"), "approx_customers", "exact_customers")
+    return (
+        per_segment.unionByName(merged)
+        .select(
+            "segment",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            ).alias("within_5pct"),
+        )
+        .orderBy("segment")
+    )
 
 
 @query(
@@ -245,21 +306,46 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # rows-only: t-digest sketch values are
-# engine-specific; the exact-percentile twin (agg_percentiles) carries
-# the oracle.
+@query(
+    "agg_approx_percentile",
+    # Banded oracle (r5 VERDICT item 6): sketch percentiles are engine-
+    # specific (the exact-percentile twin agg_percentiles carries the
+    # exact-value oracle), so the checked contract here is the group set
+    # plus booleans asserting each approx percentile lands within 1% of
+    # the group's exact percentile.
+    oracle="""
+    SELECT l_returnflag, TRUE AS p50_within_1pct, TRUE AS p99_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: the mergeable-sketch percentile for 100 TB
     (no per-group sort or value buffering, partial aggregation merges
-    sketches map-side). Accuracy set to 1/10000 relative error."""
+    sketches map-side). Accuracy set to 1/10000 relative error; the
+    exact percentiles ride the same groupBy only to make the accuracy
+    band externally checkable."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2
-        ).alias("p50_approx"),
-        F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)), 2
-        ).alias("p99_approx"),
+
+    def band(approx, exact):
+        return F.abs(approx - exact) <= 0.01 * F.abs(exact)
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+                "p50_approx"
+            ),
+            F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
+                "p99_approx"
+            ),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99_exact"),
+        )
+        .select(
+            "l_returnflag",
+            band(F.col("p50_approx"), F.col("p50_exact")).alias("p50_within_1pct"),
+            band(F.col("p99_approx"), F.col("p99_exact")).alias("p99_within_1pct"),
+        )
     )
 
 

@@ -966,6 +966,11 @@ def pack_sequence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_tokens"),
     )
+    # Checkpoint the tokenized projection (2 ints/row) BEFORE ranking:
+    # the ranker's repartitionByRange boundary-sampling pass reads every
+    # input row, so without this the regexp tokenization — the only
+    # expensive compute here — runs twice over the full corpus.
+    sized = sized.localCheckpoint(eager=False)
     ranked = with_global_row_number(
         sized, [F.desc("n_tokens"), F.col("doc_id")], out_col="rn"
     )

@@ -1,0 +1,51 @@
+"""Performance floor — a cheap CI tripwire for plan-shape regressions.
+
+Round 5 shipped two silent slowdowns (similarity_ivf_ann rebuilt its
+assignment expression per Lloyd iteration; pack_sequence_bins traded a
+one-task sort for a two-job ranker) that only surfaced in the official
+per-round bench artifact, after the fact. This test runs the historically
+slowest / most-regression-prone queries once at sf0.01 and fails hard when
+one exceeds 3x its pinned cold-run envelope (measured on the round-6 code,
+one JVM warm-up, local[32]) — loose enough to shrug off CI contention,
+tight enough that a re-planned shuffle, a lost broadcast, a codegen blowup
+or an accidental O(n^2) (the failure classes that produce integer-multiple
+slowdowns) trips it before a driver round records it.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from muurschilderingendatabase_etl_spark import registry
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# query -> cold-run envelope seconds at sf0.01 (r6 measurement). The gate
+# is 3x this number. Re-pin when a deliberate, documented cost change
+# lands (cite the commit in the new pin).
+ENVELOPES = {
+    "similarity_ivf_ann": 4.0,
+    "pack_sequence_bins": 1.5,
+    "contamination_bloom_prefilter": 5.0,
+    "graph_pagerank_fixed": 5.0,
+    "dedup_connected_components": 4.0,
+}
+FACTOR = 3.0
+
+
+@pytest.mark.parametrize("name", sorted(ENVELOPES))
+def test_perf_floor(spark, name):
+    fn = registry.all_queries()[name]
+    t0 = time.perf_counter()
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    limit = ENVELOPES[name] * FACTOR
+    assert elapsed <= limit, (
+        f"{name} took {elapsed:.1f}s at sf0.01 — over {FACTOR}x its pinned "
+        f"{ENVELOPES[name]}s envelope. A plan-shape regression (lost "
+        f"broadcast, re-planned shuffle, codegen fallback, O(n^2) blowup) "
+        f"is the usual cause; .explain('formatted') the plan and compare "
+        f"against PLANS.md before re-pinning."
+    )
