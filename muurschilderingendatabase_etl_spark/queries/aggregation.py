@@ -357,7 +357,26 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_rolling_uniques")  # rows-only: sketch estimates are engine-specific
+@query(
+    "agg_hll_rolling_uniques",
+    # Banded oracle (upgraded from rows-only in round 6): the checked
+    # contract is the exact trailing-3-day distinct per day (vs DuckDB's
+    # range-joined exact) plus a boolean asserting the merged-sketch
+    # estimate lands within 5% of it.
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM daily)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT x.user_id) AS BIGINT)
+             AS exact_rolling_uniques,
+           TRUE AS within_5pct
+    FROM days d
+    JOIN daily x ON x.day BETWEEN d.day - INTERVAL 2 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
 def agg_hll_rolling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling distinct users: per-day HLL sketches merged over a
     trailing 3-day window (hll_union_agg OVER) — the production pattern
@@ -368,14 +387,21 @@ def agg_hll_rolling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The window here is a global orderBy over ~30 day rows (trivially
     small — one row per day); a multi-tenant deployment partitions the
-    window by tenant. Estimate accuracy vs exact is regression-tested
-    in tests/test_plans.py."""
+    window by tenant. VERIFICATION SIDE-CAR: per-day exact user SETS
+    ride the same daily aggregation and are merged over the same window
+    so the sketch estimate can be band-checked externally — O(daily
+    uniques) state that a 100 TB deployment would simply drop (delete
+    the collect_set column) because the sketch IS the product; the band
+    is also regression-tested in tests/test_plans.py."""
     from pyspark.sql import Window
 
     daily = (
         t(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", "ts").alias("day"))
-        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+        .agg(
+            F.hll_sketch_agg("user_id", 14).alias("sk"),
+            F.collect_set("user_id").alias("us"),
+        )
     )
     w = Window.orderBy("day").rowsBetween(-2, Window.currentRow)
     return (
@@ -384,6 +410,17 @@ def agg_hll_rolling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
                 "rolling_unique_users"
             ),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("us").over(w)))
+            ).cast("long").alias("exact_rolling_uniques"),
+        )
+        .select(
+            "day",
+            "exact_rolling_uniques",
+            (
+                F.abs(F.col("rolling_unique_users") - F.col("exact_rolling_uniques"))
+                <= 0.05 * F.col("exact_rolling_uniques")
+            ).alias("within_5pct"),
         )
         .orderBy("day")
     )
