@@ -202,13 +202,27 @@ def rdf_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rdf_rest_source_scan")  # rows-only: external-source op (SURVEY O1)
+_REST_SCAN_ORACLE = """
+    SELECT 'https://muurschilderingendatabase.nl/item/' || CAST(i AS VARCHAR) AS s,
+           'http://purl.org/dc/terms/title' AS p,
+           'item ' || CAST(i AS VARCHAR) AS o
+    FROM range(0, 300) AS t(i)
+    ORDER BY s, p, o
+"""
+
+
+@query("rdf_rest_source_scan", oracle=_REST_SCAN_ORACLE)
 def rdf_rest_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paginated REST source scan (O1, export_from_omeka_s.py:37-47)
     driven by a deterministic stub fetcher: 3 synthetic Turtle pages of
     100 items each, then an empty page triggering the early stop. The
     scan machinery (page loop, stop condition, SSL tolerance, quarantine
-    column) is the real engine code from rdf/source.py."""
+    column) is the real engine code from rdf/source.py.
+
+    Value-checked (upgraded round 6): the stub corpus is deterministic,
+    so the oracle regenerates the expected 300 triples relationally —
+    the page loop, early stop, and Turtle parse all sit under the
+    DuckDB hash gate instead of a rows-only count."""
     from muurschilderingendatabase_etl_spark.rdf.source import scan_paginated
 
     def fetcher(page: int) -> str:
@@ -225,13 +239,17 @@ def rdf_rest_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples_only(parsed).select("s", "p", "o").orderBy("s", "p", "o")
 
 
-@query("rdf_rest_datasource_scan")  # rows-only: external-source op (SURVEY O1)
+@query("rdf_rest_datasource_scan", oracle=_REST_SCAN_ORACLE)
 def rdf_rest_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 as a Spark 4 Python DataSource (rdf/datasource.py): the same
     3-page synthetic corpus as rdf_rest_source_scan, but fetched
     partition-per-page ON THE EXECUTORS — the distributed redesign of
     the reference's serial page loop. Parse goes through the shared
-    parse_bodies kernel, so both scan paths yield identical triples."""
+    parse_bodies kernel, so both scan paths yield identical triples.
+
+    Value-checked (upgraded round 6) against the same relational
+    regeneration as the serial path — the executor-side fetch and the
+    partition-per-page planner sit under the DuckDB hash gate."""
     from muurschilderingendatabase_etl_spark.rdf.datasource import (
         OmekaRestDataSource,
     )
@@ -249,13 +267,61 @@ def rdf_rest_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples_only(parsed).select("s", "p", "o").orderBy("s", "p", "o")
 
 
-@query("rdf_enrichment_join")  # rows-only: external lookup join (SURVEY O12)
+@query(
+    "rdf_enrichment_join",
+    oracle=f"""
+    WITH names AS (
+      SELECT 'urn:n:' || n_nationkey AS s, '{_URN_NAME}' AS p, n_name AS o
+      FROM nation
+    ),
+    typed AS (
+      SELECT 'urn:n:' || n_nationkey AS s, '{RDF_TYPE}' AS p,
+             '{CEO_RIJKSMONUMENT}' AS o
+      FROM nation WHERE n_regionkey = 0
+    ),
+    nums AS (
+      SELECT 'urn:n:' || n_nationkey AS s, '{CEO_RIJKSMONUMENTNUMMER}' AS p,
+             'RM' || n_nationkey AS o
+      FROM nation
+    ),
+    hk AS (
+      SELECT 'urn:n:' || n_nationkey AS s, '{_IS_PUBLIC}' AS p, 'true' AS o
+      FROM nation
+    ),
+    -- stub fetcher response per distinct RM-stripped key (O12)
+    enrich AS (
+      SELECT 'urn:monument:' || n_nationkey AS s, 'urn:p:identifier' AS p,
+             CAST(n_nationkey AS VARCHAR) AS o
+      FROM nation
+    ),
+    -- derived sameAs: number triples whose subject is typed Rijksmonument
+    sameas AS (
+      SELECT 'urn:n:' || n_nationkey AS s, '{SDO_SAME_AS}' AS p,
+             'RM' || n_nationkey AS o
+      FROM nation WHERE n_regionkey = 0
+    )
+    SELECT s, p, o FROM names UNION ALL
+    SELECT s, p, o FROM typed UNION ALL
+    SELECT s, p, o FROM nums  UNION ALL
+    SELECT s, p, o FROM hk    UNION ALL
+    SELECT s, p, o FROM enrich UNION ALL
+    SELECT s, p, o FROM sameas
+    ORDER BY s, p, o
+    """,
+)
 def rdf_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O12 end-to-end (transform_datamodel.py:88-109) on the nation
     graph: distinct-key extraction with RM-strip, per-key lookup through
     an injectable fetcher (deterministic stub here — the live fetcher is
     the same code path), Turtle-parse of the responses, set-semantics
-    union, and the type-gated sameAs semi-join."""
+    union, and the type-gated sameAs semi-join.
+
+    Value-checked (upgraded round 6): every stage is deterministic given
+    the stub, so the oracle rebuilds the full expected graph — base
+    nation graph + one enrichment triple per distinct key + the sameAs
+    inserts for regionkey-0 subjects — relationally from the nation
+    table. Key extraction, per-key fetch/parse, set-union dedup, and the
+    semi-join all sit under the DuckDB hash gate."""
     graph = _nation_graph(spark, sf_dir)
 
     def stub_fetcher(key: str) -> str:

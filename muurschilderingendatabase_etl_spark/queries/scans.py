@@ -131,13 +131,29 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-@query("scan_json_corrupt_records")  # rows-only: quarantine policy (O20)
+@query(
+    "scan_json_corrupt_records",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'ok-one', false),
+      (CAST(2 AS BIGINT), 'ok-two', false),
+      (CAST(4 AS BIGINT), 'ok-three', false),
+      (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), true),
+      (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), true)
+    ) AS t(id, name, quarantined)
+    """,
+)
 def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE-mode JSON scan with a _corrupt_record quarantine column
     — the engine-wide malformed-input policy (SURVEY O20: the reference
     catches BadSyntax at pipeline level; we quarantine per row instead of
     failing the job). Two of the five synthetic lines are broken; they
-    surface as rows with NULL fields + populated _corrupt_record."""
+    surface as rows with NULL fields + populated _corrupt_record.
+
+    Value-checked (upgraded round 6): the fixture is written by the query
+    itself, so the expected parse outcome is a constant — the oracle is
+    the literal 5-row table, putting the PERMISSIVE parse + quarantine
+    flagging under the DuckDB hash gate."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     tmp = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_corrupt_json_"))

@@ -47,7 +47,7 @@ def load_all() -> None:
     from muurschilderingendatabase_etl_spark import queries as _  # noqa: F401
 
 
-def _last_verified_round() -> dict[str, int]:
+def _last_verified_round() -> dict[str, tuple[int, int]]:
     """Per-query round of the most recent SUCCESSFUL external verification,
     parsed from the committed ``CORRECTNESS_r*.json`` driver artifacts.
 
@@ -71,7 +71,7 @@ def _last_verified_round() -> dict[str, int]:
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    last: dict[str, int] = {}
+    last: dict[str, tuple[int, int]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -91,8 +91,21 @@ def _last_verified_round() -> dict[str, int]:
             rows_only_ran = (
                 rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
             )
-            # files are processed in round order, so the last write wins
-            last[name] = rnd if (hash_ok or rows_only_ran) else 0
+            # Tiers (files are processed in round order: last write wins):
+            #   0 — latest record is a failure (or never checked at all):
+            #       full never-verified priority;
+            #   1 — ran rows-only but the query HAS an oracle today, i.e.
+            #       the value contract was added after the last external
+            #       check and has never been externally run: first in
+            #       line AFTER the never-verified set (it has at least a
+            #       rows-level external pass, a true zero has nothing);
+            #   2 — externally verified at its current contract level.
+            if not (hash_ok or rows_only_ran):
+                last[name] = (0, 0)
+            elif rows_only_ran and name in _ORACLES:
+                last[name] = (1, rnd)
+            else:
+                last[name] = (2, rnd)
     return last
 
 
@@ -126,7 +139,7 @@ def _module_round_robin_order() -> list[str]:
     # module-interleaved order so any window samples every category.
     last = _last_verified_round()
     pos = {n: i for i, n in enumerate(order)}
-    return sorted(order, key=lambda n: (last.get(n, 0), pos[n]))
+    return sorted(order, key=lambda n: (*last.get(n, (0, 0)), pos[n]))
 
 
 def all_queries() -> dict[str, QueryFn]:
