@@ -24,6 +24,50 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_snapshot():
+    """(machine_busy_jiffies, our_tree_jiffies) — or None off-Linux.
+
+    "Our tree" is every live process whose ancestry reaches this PID
+    (the bench python, the Spark JVM, pyspark daemons/workers), so the
+    delta between two snapshots splits machine-wide busy CPU into
+    bench-attributable vs other-tenant work. Exists because a 35%
+    suite-total swing on identical code (BENCH_PROTOCOL.md) was only
+    attributable to host contention after the fact; this bakes the
+    evidence into the artifact itself.
+    """
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+        me = os.getpid()
+        ppid: dict[int, int] = {}
+        cpu: dict[int, int] = {}
+        for ent in os.listdir("/proc"):
+            if not ent.isdigit():
+                continue
+            try:
+                with open(f"/proc/{ent}/stat") as fh:
+                    parts = fh.read().rsplit(")", 1)[1].split()
+                ppid[int(ent)] = int(parts[1])
+                cpu[int(ent)] = int(parts[11]) + int(parts[12])
+            except (OSError, IndexError, ValueError):
+                continue
+
+        def in_tree(pid: int) -> bool:
+            seen: set[int] = set()
+            while pid > 1 and pid not in seen:
+                if pid == me:
+                    return True
+                seen.add(pid)
+                pid = ppid.get(pid, 0)
+            return False
+
+        ours = sum(c for p, c in cpu.items() if in_tree(p))
+        return busy, ours
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -36,6 +80,13 @@ def main() -> None:
     # Warm-up: JVM JIT, codegen, parquet footer caches.
     materialize(queries["flagship_revenue_by_nation"](spark, sf_dir))
 
+    snap0 = _cpu_snapshot()
+    wall0 = time.perf_counter()
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()
@@ -47,6 +98,25 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+
+    # Contention evidence: average CPU cores consumed by processes
+    # OUTSIDE the bench tree while the timed loop ran, plus 1-min load
+    # averages at loop start/end. other_cpu_cores ≈ 0 on a clean box;
+    # a suite total inflated by a co-tenant shows up here directly.
+    contention: dict[str, object] = {}
+    if load_start is not None:
+        contention["load_avg_start"] = load_start
+    try:
+        contention["load_avg_end"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    snap1 = _cpu_snapshot()
+    if snap0 is not None and snap1 is not None:
+        elapsed = time.perf_counter() - wall0
+        hz = os.sysconf("SC_CLK_TCK")
+        other = (snap1[0] - snap0[0]) - (snap1[1] - snap0[1])
+        contention["other_cpu_cores"] = round(max(0.0, other / hz / elapsed), 2)
+        contention["bench_cpu_cores"] = round((snap1[1] - snap0[1]) / hz / elapsed, 2)
     # Full per-query detail goes to a sidecar file and an early stdout line;
     # the FINAL stdout line stays small (the driver parses the tail of the
     # output, and a single ~4 KB line with 121 queries overflows its window —
@@ -57,6 +127,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        **contention,
     }
     with open("BENCH_DETAIL.json", "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -71,6 +142,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": sum(1 for v in timings.values() if v < 0),
                 "detail_file": "BENCH_DETAIL.json",
+                **contention,
             }
         )
     )
