@@ -410,6 +410,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-chunk pigeonhole layout for the hamming-≤3 SimHash join: 5
+# chunks of 13/13/13/13/12 bits and the C(5,2) two-chunk key combos.
+# Module-level so tests/test_property_kernels.py can verify the
+# completeness guarantee (any pair within hamming 3 shares a key) over
+# random inputs against the EXACT layout the query uses.
+SIMHASH_CUTS = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]
+SIMHASH_COMBOS = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+SIMHASH_MAX_HAMMING = 3
+
+
 @query("dedup_simhash")  # rows-only: hash-dependent signatures
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (hamming ≤ 3).
@@ -465,13 +475,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     sims = docs.select("doc_id", simhash.alias("simhash"))
-    cuts = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]
+    cuts = SIMHASH_CUTS
 
     def chunk(c: int):
         shift, width = cuts[c]
         return F.shiftright("simhash", shift).bitwiseAND(F.lit((1 << width) - 1))
 
-    combos = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    combos = SIMHASH_COMBOS
     chunks = sims.select(
         "doc_id",
         "simhash",
