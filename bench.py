@@ -64,7 +64,8 @@ def _cpu_snapshot():
 
         ours = sum(c for p, c in cpu.items() if in_tree(p))
         return busy, ours
-    except OSError:
+    except (OSError, ValueError, IndexError):
+        # diagnostics must never break the bench contract
         return None
 
 
