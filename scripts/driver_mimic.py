@@ -70,6 +70,19 @@ def main() -> None:
             ]
             if bad_cols:
                 raise RuntimeError(f"non-scalar output columns: {bad_cols}")
+            # The other r1 driver failure class: raw timestamp columns
+            # hash-diverge on Spark µs vs DuckDB ns precision. The
+            # registry convention is DATE or a formatted string.
+            ts_cols = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in sdf.schema.fields
+                if f.dataType.simpleString().startswith("timestamp")
+            ]
+            if ts_cols:
+                raise RuntimeError(
+                    f"raw timestamp output columns (cast to date or "
+                    f"format as string per registry convention): {ts_cols}"
+                )
             spdf = canon(sdf.toPandas())
             if name in oracles:
                 odf = canon(con.sql(oracles[name]).df())
