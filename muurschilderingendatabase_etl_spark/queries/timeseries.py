@@ -24,7 +24,7 @@ _BUCKET_S = 21600  # 6 hours
     WITH obs AS (
       SELECT user_id,
              CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS bucket,
-             ROUND(AVG(value), 4) AS v
+             ROUND(SUM(value), 2) AS v
       FROM events WHERE user_id < 20
       GROUP BY 1, 2
     ),
@@ -62,6 +62,16 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     before a user's first observation stay null — n_filled counts the
     carried series.
 
+    The per-bucket aggregate is SUM rounded to cents, not AVG: event
+    values are cent-quantized, so every bucket value is an exact cent
+    multiple that both engines round to the identical double, and the
+    final filled_sum of cent multiples is again boundary-free. With
+    AVG-rounded-to-4dp, a 1-ulp cross-engine divergence in ONE bucket
+    flips the 4th decimal, forward-fill replicates that bucket across
+    the gap, and the amplified drift crosses a 2dp rounding boundary —
+    observed as a 0.01 filled_sum mismatch at sf1 (sf1 oracle-parity
+    sweep, round 6).
+
     Scale shape: the observation aggregation shuffles on (user, bucket);
     the dense grid is generated per user with explode(sequence(...)) —
     rows are born distributed, there is no driver-side loop; the
@@ -78,7 +88,7 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("bucket"),
         )
-        .agg(F.round(F.avg("value"), 4).alias("v"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
     )
     bounds = obs.agg(
         F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
