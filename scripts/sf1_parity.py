@@ -21,7 +21,10 @@ Usage:
 Round-6 result: 182/182 oracles green at sf1 scale (179 + 2 embedding
 + fuzzy at full sf1; the three pair-miners at block density; the one
 initial failure — timeseries_resample_ffill's round-then-ffill
-amplification — was a real defect, fixed in the same round).
+amplification — was a real defect, fixed in the same round). The same
+sweep was repeated green on the realistic Zipf-Mandelbrot corpus
+(``gen_sf.py --corpus realistic``, ``.scratch/real-sf1``) — both
+stages, both generators.
 """
 
 from __future__ import annotations
