@@ -295,8 +295,26 @@ def similarity_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_K = 16       # coarse centroids
 _IVF_ITERS = 10   # Lloyd's iterations (driver-side NumPy on the sample)
-_IVF_NPROBE = 4   # cells probed per query (25% of cells; recall ≥0.88 measured)
+_IVF_NPROBE = 4   # cells probed per query at base scale (≤20k vectors)
+_IVF_NPROBE_REF_N = 20_000  # corpus size the base nprobe was tuned at
 _IVF_TRAIN_SAMPLE = 4096  # bounded training sample (k*256; ~2 MB at dim 64)
+
+
+def _ivf_nprobe(n: int) -> int:
+    """Corpus-adaptive probe count. A round-6 sf10 recall probe (200k
+    unclustered vectors) measured recall@5 decaying with corpus size at
+    fixed nprobe: 0.62 / 0.76 / 0.88 / 0.96 at nprobe 4/6/8/10 — on
+    isotropic embeddings the true neighbors spread across cell
+    boundaries as the corpus grows, so the probed fraction must grow
+    too. nprobe = base * (n / 20k)^0.3 keeps the measured recall at or
+    above the 0.8 floor at every probed scale (4 at ≤20k, 8 at 200k)
+    while staying O(k) bounded. Real clustered embeddings need a lower
+    exponent; isotropic is the worst case, so this is the safe default.
+    """
+    if n <= _IVF_NPROBE_REF_N:
+        return _IVF_NPROBE
+    scaled = round(_IVF_NPROBE * (n / _IVF_NPROBE_REF_N) ** 0.3)
+    return int(min(_IVF_K, max(_IVF_NPROBE, scaled)))
 
 
 @query("similarity_ivf_ann")  # rows-only: centroid training is engine-internal
@@ -324,7 +342,9 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted index; training and search are separate jobs sharing it.
 
     Quality: recall@5 vs brute force ≥ the 0.8 floor at
-    sf0.001/0.01/0.1 with nprobe=4 (tests/test_similarity.py). The
+    sf0.001/0.01/0.1 (nprobe=4) AND at sf10 / 200k vectors (adaptive
+    nprobe=8, recall 0.88 measured — see _ivf_nprobe for the sf10
+    decay curve that motivated corpus-adaptive probing). The
     search stage carries an `observe` metric
     (`ivf_search.n_candidates`) so production runs can monitor how
     much of the corpus each query actually scanned.
@@ -347,6 +367,8 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVF_TRAIN_SAMPLE)
         .collect()
     )
+    # Corpus-adaptive nprobe (count rides the already-cached vectors).
+    nprobe = _ivf_nprobe(emb.count())
     # Seed determinism: the k sample vectors with the smallest vec_id.
     sample.sort(key=lambda r: int(r.vec_id))
     X = np.array([[float(x) for x in r.v] for r in sample])
@@ -408,7 +430,7 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_df.crossJoin(F.broadcast(centroids))
         .select("q_id", "qv", "cid", qd2.alias("qd2"))
         .withColumn("rk", F.row_number().over(wq))
-        .where(F.col("rk") <= _IVF_NPROBE)
+        .where(F.col("rk") <= nprobe)
         .select("q_id", "qv", "cid")
     )
     # search only the probed cells; observe() rides the existing pass —
