@@ -402,8 +402,16 @@ def agg_hll_rolling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_agg("user_id", 14).alias("sk"),
             F.collect_set("user_id").alias("us"),
         )
+        # Calendar-day ordinal for the RANGE frame below: the oracle's
+        # contract is "day - INTERVAL 2 DAY", i.e. calendar semantics.
+        # A rowsBetween(-2, 0) frame over present day-ROWS agrees with
+        # that only while every calendar day in the span has events; a
+        # corpus with a day gap would silently diverge (r6 ADVICE).
+        .withColumn(
+            "dayn", (F.unix_timestamp("day") / F.lit(86400)).cast("long")
+        )
     )
-    w = Window.orderBy("day").rowsBetween(-2, Window.currentRow)
+    w = Window.orderBy("dayn").rangeBetween(-2, Window.currentRow)
     return (
         daily.select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),

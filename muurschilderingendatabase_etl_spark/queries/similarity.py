@@ -444,9 +444,17 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("qv")) * _norm(F.col("v"))
     )
     wk = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
+    out = (
         cand.select("q_id", "vec_id", cosine.alias("cosine"))
         .withColumn("rk", F.row_number().over(wk).cast("long"))
         .where(F.col("rk") <= _TOP_K)
         .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rk")
     )
+    # Release the pinned vectors before returning (r6 ADVICE: the cache
+    # otherwise outlives the query in a long-lived session — the same
+    # executor-storage leak class as pagerank's fallback persist). The
+    # small top-k result (≤ n_queries·k rows) is checkpointed eagerly
+    # first so the returned frame no longer depends on the cache.
+    out = out.localCheckpoint()
+    emb.unpersist()
+    return out

@@ -72,11 +72,16 @@ def _last_verified_round() -> dict[str, tuple[int, int]]:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last: dict[str, tuple[int, int]] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    # Sort by the PARSED round number, not the filename: last-write-wins
+    # below assumes round order, and lexicographic order only matches it
+    # for zero-padded 2-digit rounds (an unpadded CORRECTNESS_r7.json or
+    # round >= 100 would let an older record overwrite a newer one).
+    found: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
+        if m:
+            found.append((int(m.group(1)), path))
+    for rnd, path in sorted(found):
         try:
             with open(path) as fh:
                 records = json.load(fh)
