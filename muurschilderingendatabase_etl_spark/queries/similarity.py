@@ -301,20 +301,31 @@ _IVF_TRAIN_SAMPLE = 4096  # bounded training sample (k*256; ~2 MB at dim 64)
 
 
 def _ivf_nprobe(n: int) -> int:
-    """Corpus-adaptive probe count. A round-6 sf10 recall probe (200k
-    unclustered vectors) measured recall@5 decaying with corpus size at
-    fixed nprobe: 0.62 / 0.76 / 0.88 / 0.96 at nprobe 4/6/8/10 — on
-    isotropic embeddings the true neighbors spread across cell
-    boundaries as the corpus grows, so the probed fraction must grow
-    too. nprobe = base * (n / 20k)^0.3 keeps the measured recall at or
-    above the 0.8 floor at every probed scale (4 at ≤20k, 8 at 200k)
-    while staying O(k) bounded. Real clustered embeddings need a lower
-    exponent; isotropic is the worst case, so this is the safe default.
+    """Corpus-adaptive probe count, tuned against TWO measured recall
+    sweeps on isotropic (worst-case, no cluster structure) vectors:
+
+      200k (r6 sf10 probe): nprobe 4/6/8/10 -> 0.62/0.76/0.88/0.96
+      50k  (r7 in-test sweep, tests/test_ivf_midscale_recall.py):
+            nprobe 5/6/7/8  -> 0.70/0.76/0.82/0.86
+
+    Reading the two together: for UNstructured embeddings recall@5 is
+    essentially a function of the probed fraction nprobe/k, nearly flat
+    in corpus size — the r6 exponent-only curve (4*(n/20k)^0.3) was
+    tuned at the 200k point and silently undershot the 0.8 floor in the
+    20k–130k window (nprobe 5 at 50k measures 0.70). So above the
+    clustered-fixture regime (the sf* testdata has 10-cluster structure;
+    nprobe 4 measures 0.88–0.92 there) the curve now floors at 7 — the
+    smallest probe count that held >= 0.8 at every measured scale — and
+    caps at 10 (0.96 at 200k; flat-in-n means more cells buy little but
+    cost linearly). The honest 100 TB posture is different knobs
+    entirely: grow k ~ sqrt(n) with a larger training sample and keep
+    nprobe/k small — with k fixed at 16 for fixture comparability, a
+    large probed fraction IS the correct compensation.
     """
     if n <= _IVF_NPROBE_REF_N:
         return _IVF_NPROBE
     scaled = round(_IVF_NPROBE * (n / _IVF_NPROBE_REF_N) ** 0.3)
-    return int(min(_IVF_K, max(_IVF_NPROBE, scaled)))
+    return int(min(_IVF_K, min(10, max(7, scaled))))
 
 
 @query("similarity_ivf_ann")  # rows-only: centroid training is engine-internal
