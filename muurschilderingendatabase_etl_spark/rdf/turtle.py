@@ -491,6 +491,62 @@ def write_turtle(
     lines.saveAsTextFile(path)
 
 
+def write_turtle_sharded(
+    triples: DataFrame,
+    path: str,
+    prefixes: dict[str, str] | None = None,
+    auto_compact: bool = False,
+    num_shards: int | None = None,
+) -> None:
+    """The 100 TB form of the Turtle sink: N part files instead of one.
+
+    ``write_turtle``'s global orderBy + coalesce(1) funnels the whole
+    graph through ONE task — correct for the reference's single-artifact
+    handoff (workflows:33-39), a wall at scale. Here the graph is
+    range-partitioned on (s, p, o) and sorted WITHIN each shard, so:
+
+      * every shard writes in parallel (no single-task stage);
+      * shards are globally ordered end-to-end — concatenating the part
+        files in filename order yields exactly the single-file writer's
+        triple order (range boundaries only decide WHERE the cuts fall,
+        which the boundary-sampling job makes run-dependent — the
+        determinism contract is the concatenated triple sequence, not
+        per-shard bytes);
+      * every shard repeats the @prefix header, so each part file is a
+        self-contained valid Turtle document (re-declaring a prefix is
+        legal Turtle) — downstream consumers can parse shards
+        independently, and read_turtle(path) reassembles the graph.
+
+    ``num_shards`` defaults to the session's shuffle parallelism."""
+    if auto_compact:
+        prefixes = auto_prefixes(triples, prefixes)
+    prefix_items = sorted((prefixes or {}).items())
+    prefix_order = sorted(prefix_items, key=lambda kv: -len(kv[1]))
+    header = "".join(f"@prefix {p}: <{ns}> .\n" for p, ns in prefix_items)
+
+    n = num_shards or triples.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    ordered = (
+        triples.select(*TRIPLE_COLS)
+        .repartitionByRange(int(n), "s", "p", "o")
+        .sortWithinPartitions("s", "p", "o")
+    )
+
+    def format_partition(rows: Iterable[Row]) -> Iterator[str]:
+        first = True
+        for r in rows:
+            if first and header:
+                yield header.rstrip("\n")
+                first = False
+            subj = _format_term(r.s, r.s_kind, None, None, prefix_order)
+            pred = _format_term(r.p, IRI, None, None, prefix_order)
+            obj = _format_term(r.o, r.o_kind, r.o_lang, r.o_datatype, prefix_order)
+            yield f"{subj} {pred} {obj} ."
+
+    ordered.rdd.mapPartitions(format_partition).saveAsTextFile(path)
+
+
 _SERIALIZE_MAX_TRIPLES = 1_000_000  # ~100 MB of driver strings; override per call
 
 

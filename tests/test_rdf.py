@@ -28,6 +28,7 @@ from muurschilderingendatabase_etl_spark.rdf.turtle import (
     read_turtle,
     serialize_turtle,
     triples_only,
+    write_turtle_sharded,
 )
 
 DCTERMS = "http://purl.org/dc/terms/"
@@ -455,3 +456,63 @@ ex:a ex:val "3.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .
         for t in parse_turtle_text(ttl)
     )
     assert reparsed == original
+
+
+def test_sharded_writer_parallel_and_order_preserving(spark, tmp_path):
+    """write_turtle_sharded — the 100 TB form of the Turtle sink
+    (r6 VERDICT item 7): N range-partitioned part files instead of the
+    single-artifact coalesce(1). Contract checked here:
+
+    - more than one part file is actually produced (no hidden funnel);
+    - every part file is a SELF-CONTAINED valid Turtle document (header
+      repeated; re-declaring a prefix is legal Turtle);
+    - concatenating the parts in filename order yields exactly the
+      single-file writer's globally sorted triple sequence;
+    - reading the sharded directory back reassembles the full graph.
+    """
+    ns = "http://ex.org/"
+    ttl = "@prefix ex: <%s> .\n" % ns + "".join(
+        f"ex:s{i:03d} ex:p ex:o{i % 7} .\n" for i in range(300)
+    )
+    src = tmp_path / "src.ttl"
+    src.write_text(ttl, encoding="utf-8")
+    triples = triples_only(read_turtle(spark, str(src)))
+
+    out = tmp_path / "sharded"
+    write_turtle_sharded(
+        triples, str(out), {"ex": ns}, num_shards=4
+    )
+
+    parts = sorted(p for p in out.iterdir() if p.name.startswith("part-"))
+    nonempty = [p for p in parts if p.stat().st_size > 0]
+    assert len(nonempty) > 1, "sharded writer produced a single shard"
+
+    # each non-empty shard parses standalone
+    for p in nonempty:
+        body = p.read_text(encoding="utf-8")
+        assert body.startswith("@prefix ex:")
+        assert parse_turtle_text(body)
+
+    # concatenation in part order == the single-file serialization
+    concat_lines = [
+        line
+        for p in parts
+        for line in p.read_text(encoding="utf-8").splitlines()
+        if line and not line.startswith("@prefix")
+    ]
+    single_lines = [
+        line
+        for line in serialize_turtle(triples, {"ex": ns}).splitlines()
+        if line and not line.startswith("@prefix")
+    ]
+    assert concat_lines == single_lines
+
+    # round-trip: the sharded directory reassembles the full graph
+    reread = triples_only(read_turtle(spark, str(out)))
+    got = sorted(
+        (r.s, r.p, r.o) for r in reread.select("s", "p", "o").collect()
+    )
+    want = sorted(
+        (r.s, r.p, r.o) for r in triples.select("s", "p", "o").collect()
+    )
+    assert got == want
