@@ -330,30 +330,39 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: the mergeable-sketch percentile for 100 TB
     (no per-group sort or value buffering, partial aggregation merges
     sketches map-side). Accuracy set to 1/10000 relative error; the
-    exact percentiles ride the same groupBy only to make the accuracy
-    band externally checkable."""
+    exact percentiles that make the band externally checkable come from
+    the rank-based distributed form (`exact_group_percentiles`) — the
+    builtin `percentile()` aggregate's per-task value hashmap OOMed an
+    r7 sf10 probe, and a verification side-car must not be the part
+    that falls over at scale."""
+    from muurschilderingendatabase_etl_spark.queries.distributed import (
+        exact_group_percentiles,
+    )
+
     li = t(spark, sf_dir, "lineitem")
 
     def band(approx, exact):
         return F.abs(approx - exact) <= 0.01 * F.abs(exact)
 
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-                "p50_approx"
-            ),
-            F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
-                "p99_approx"
-            ),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
-            F.expr("percentile(l_extendedprice, 0.99)").alias("p99_exact"),
-        )
-        .select(
-            "l_returnflag",
-            band(F.col("p50_approx"), F.col("p50_exact")).alias("p50_within_1pct"),
-            band(F.col("p99_approx"), F.col("p99_exact")).alias("p99_within_1pct"),
-        )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
+            "p99_approx"
+        ),
+    )
+    exact = exact_group_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.99]
+    ).select(
+        "l_returnflag",
+        F.col("qs")[0].alias("p50_exact"),
+        F.col("qs")[1].alias("p99_exact"),
+    )
+    return approx.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        band(F.col("p50_approx"), F.col("p50_exact")).alias("p50_within_1pct"),
+        band(F.col("p99_approx"), F.col("p99_exact")).alias("p99_within_1pct"),
     )
 
 

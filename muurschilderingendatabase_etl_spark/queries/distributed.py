@@ -107,3 +107,112 @@ def with_global_row_number(
         out = out.withColumnRenamed("_total", total_col)
         return out.drop("_pid", "_offset", "_mid")
     return out.drop("_pid", "_offset", "_mid", "_total")
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact PERCENTILE_CONT per group WITHOUT per-task value buffering.
+
+    Spark's builtin ``percentile()`` aggregates through a per-task
+    value->count hashmap (TypedAggregateWithHashMapAsBuffer) whose
+    serialized partial state is O(distinct values per partition) — an
+    r7 sf10 probe OOMed a 8 GiB heap on exactly that buffer with 32
+    concurrent tasks over ~60M prices. This is the scale-safe form:
+
+    1. one distributed range-shuffle sort ranks every row globally by
+       (group, value) via ``with_global_row_number`` (spillable sort,
+       no value hashmap anywhere);
+    2. per-group counts + start offsets are a tiny aggregation
+       (|groups| rows) prefix-summed in one bounded task — group-local
+       rank = global rank - group start;
+    3. for each probe p the two bracketing ranks floor/ceil(p*(n-1))
+       become a broadcast target table (2*|groups|*|ps| rows); a
+       map-side broadcast hash join on the rank column picks exactly
+       those rows out of the ranked stream — no second shuffle of the
+       data — and the ANSI linear interpolation
+       ``v_lo + (v_hi - v_lo) * frac`` runs on the picked pairs.
+
+    Returns one row per group: ``(group_col, qs array<double>)`` with
+    ``qs[i]`` = the ``ps[i]`` percentile. Callers needing cross-engine
+    bit-exactness should feed integer-valued ``value_col`` (e.g. cents)
+    and dyadic probes, as with the builtin (every term of the
+    interpolation is then exact in IEEE double).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast("double").alias("_v")
+    )
+    ranked = with_global_row_number(
+        base,
+        [F.col("_g"), F.col("_v")],
+        out_col="_grn",
+        num_partitions=num_partitions,
+    )
+
+    counts = base.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    w_prev = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
+    stats = counts.coalesce(1).select(
+        "_g",
+        "_n",
+        F.coalesce(F.sum("_n").over(w_prev), F.lit(0)).alias("_start"),
+    )
+
+    p_arr = F.array(*[F.lit(float(p)) for p in ps])
+    targets = (
+        stats.select(
+            F.col("_g").alias("_tg"),
+            "_n",
+            "_start",
+            F.posexplode(p_arr).alias("_pi", "_p"),
+        )
+        .withColumn("_pos", F.col("_p") * (F.col("_n") - 1))
+        .withColumn("_frac", F.col("_pos") - F.floor("_pos"))
+        .select(
+            "_tg",
+            "_pi",
+            "_frac",
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("_start") + F.floor("_pos") + 1)
+                        .cast("long")
+                        .alias("_trn"),
+                        F.lit("lo").alias("_side"),
+                    ),
+                    F.struct(
+                        (F.col("_start") + F.ceil("_pos") + 1)
+                        .cast("long")
+                        .alias("_trn"),
+                        F.lit("hi").alias("_side"),
+                    ),
+                )
+            ).alias("_t"),
+        )
+        .select("_tg", "_pi", "_frac", "_t._trn", "_t._side")
+    )
+
+    picked = (
+        ranked.join(F.broadcast(targets), F.col("_grn") == F.col("_trn"))
+        .groupBy("_tg", "_pi", "_frac")
+        .agg(
+            F.max(F.when(F.col("_side") == "lo", F.col("_v"))).alias("_vlo"),
+            F.max(F.when(F.col("_side") == "hi", F.col("_v"))).alias("_vhi"),
+        )
+        .withColumn(
+            "_q", F.col("_vlo") + (F.col("_vhi") - F.col("_vlo")) * F.col("_frac")
+        )
+    )
+    return picked.groupBy("_tg").agg(
+        F.array(
+            *[
+                F.max(F.when(F.col("_pi") == i, F.col("_q")))
+                for i in range(len(ps))
+            ]
+        ).alias("qs")
+    ).withColumnRenamed("_tg", group_col)

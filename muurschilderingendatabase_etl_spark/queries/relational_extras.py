@@ -125,28 +125,34 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per return flag.
+    """Exact interpolated percentiles per return flag, via the
+    rank-based distributed form (`exact_group_percentiles`) — the
+    builtin `percentile()` aggregate buffers a per-task value hashmap
+    that OOMed an r7 sf10 probe; the rank form is one spillable
+    range-shuffle sort plus a broadcast pick of bracketing ranks.
 
     Cross-engine determinism: interpolate over exact integer CENTS with
     binary-exact quantile fractions (k/8), so every intermediate double
     is exact and both engines produce bit-identical values — rounding a
     raw dollar median would sit on a half-cent boundary and amplify a
     1-ulp interpolation difference into a whole cent."""
-    li = t(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0)
-    # One percentile() call with an array of quantiles = ONE sorted value
-    # buffer per group instead of four.
-    qarr = F.percentile(cents, F.array(*[F.lit(q) for q in (0.25, 0.5, 0.75, 0.875)]))
-    return (
-        li.groupBy("l_returnflag")
-        .agg(qarr.alias("qs"))
-        .select(
-            "l_returnflag",
-            *[
-                F.round(F.col("qs").getItem(i) / 100, 4).alias(name)
-                for i, name in enumerate(["p25", "p50", "p75", "p875"])
-            ],
-        )
+    from muurschilderingendatabase_etl_spark.queries.distributed import (
+        exact_group_percentiles,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).alias("cents"),
+    )
+    qs = exact_group_percentiles(
+        li, "l_returnflag", "cents", [0.25, 0.5, 0.75, 0.875]
+    )
+    return qs.select(
+        "l_returnflag",
+        *[
+            F.round(F.col("qs").getItem(i) / 100, 4).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p875"])
+        ],
     )
 
 

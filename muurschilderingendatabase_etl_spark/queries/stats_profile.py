@@ -127,11 +127,16 @@ def stats_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles per group (the ANSI
-    PERCENTILE_CONT definition, identical in Spark's `percentile` and
-    DuckDB's `quantile_cont`). Exact percentiles buffer each group's
-    values — fine for 3 groups; the documented 100 TB lever is
-    `approx_percentile(col, p, accuracy)` (t-digest-style mergeable
-    sketch, already used by `window_ntile_buckets`'s scale note).
+    PERCENTILE_CONT definition, identical semantics to Spark's
+    `percentile` and DuckDB's `quantile_cont`) — computed by the
+    rank-based distributed form (`exact_group_percentiles`), NOT the
+    builtin aggregate: Spark's `percentile()` buffers a per-task
+    value->count hashmap whose serialized state OOMed an r7 sf10 probe
+    (TypedAggregateWithHashMapAsBuffer, ~60M distinct prices x 32
+    concurrent tasks on an 8 GiB heap). The rank form is one spillable
+    range-shuffle sort + a broadcast pick of the bracketing ranks —
+    memory-bounded at any corpus size. The sketch alternative for 100 TB
+    remains `approx_percentile` (see agg_approx_percentile).
 
     Cross-engine determinism: the price is lifted to INTEGER cents and
     the probed percentiles are dyadic (1/4, 1/2, 3/4, 7/8), so the
@@ -141,25 +146,25 @@ def stats_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     constantly, and rounding such a half-ulp-divergent double to 2dp
     was a measured coin flip between engines (caught by the sf0.001
     parity suite; sf0.01 happened to pass)."""
+    from muurschilderingendatabase_etl_spark.queries.distributed import (
+        exact_group_percentiles,
+    )
+
     li = t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100)
         .cast("long")
         .alias("cents"),
     )
-    pct = F.percentile(
-        "cents", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.875)])
+    qs = exact_group_percentiles(
+        li, "l_returnflag", "cents", [0.25, 0.5, 0.75, 0.875]
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(pct.alias("ps"))
-        .select(
-            "l_returnflag",
-            (F.col("ps")[0] / 100.0).alias("p25"),
-            (F.col("ps")[1] / 100.0).alias("p50"),
-            (F.col("ps")[2] / 100.0).alias("p75"),
-            (F.col("ps")[3] / 100.0).alias("p875"),
-        )
+    return qs.select(
+        "l_returnflag",
+        (F.col("qs")[0] / 100.0).alias("p25"),
+        (F.col("qs")[1] / 100.0).alias("p50"),
+        (F.col("qs")[2] / 100.0).alias("p75"),
+        (F.col("qs")[3] / 100.0).alias("p875"),
     )
 
 

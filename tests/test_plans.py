@@ -324,9 +324,16 @@ def test_hll_rolling_uniques_tracks_exact(spark):
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         "user_id",
     )
-    days = sorted(rows)
-    for i, day in enumerate(days):
-        lo = days[max(0, i - 2)]
+    # CALENDAR trailing window (day - 2 calendar days), not "previous 2
+    # present day-rows": the r7 fix switched the query to rangeBetween
+    # over an epoch-day ordinal so it matches the oracle's INTERVAL
+    # semantics even when a calendar day has no events (r6 ADVICE).
+    import datetime as dt
+
+    for day in sorted(rows):
+        lo = (
+            dt.date.fromisoformat(day) - dt.timedelta(days=2)
+        ).isoformat()
         exact = (
             ev.where((F.col("day") >= lo) & (F.col("day") <= day))
             .select("user_id")
@@ -334,6 +341,35 @@ def test_hll_rolling_uniques_tracks_exact(spark):
             .count()
         )
         assert rows[day]["exact_rolling_uniques"] == exact, (day, exact)
+
+
+def test_hll_rolling_uniques_day_gap(spark, tmp_path):
+    """The divergence scenario from the r6 ADVICE: a corpus with a
+    MISSING calendar day. Rows semantics (previous 2 present day-rows)
+    would count day 1 into day 4's window; calendar semantics must not.
+    """
+    import pyspark.sql.functions as F
+
+    # days 1, 2, 4 (day 3 absent); distinct users: d1={1,2}, d2={3},
+    # d4={4}. Calendar trailing-3-day windows: d1 -> {1,2}=2,
+    # d2 -> {1,2,3}=3, d4 -> {3,4}=2 (day 1 aged out; rows semantics
+    # would include it and say 4).
+    data = [
+        ("2024-01-01 10:00:00", 1), ("2024-01-01 11:00:00", 2),
+        ("2024-01-02 10:00:00", 3),
+        ("2024-01-04 10:00:00", 4),
+    ]
+    df = spark.createDataFrame(data, "ts string, user_id bigint").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["day"]: r["exact_rolling_uniques"]
+        for r in registry.all_queries()["agg_hll_rolling_uniques"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"2024-01-01": 2, "2024-01-02": 3, "2024-01-04": 2}
 
 
 def test_salted_agg_is_two_stage(spark):
@@ -482,3 +518,28 @@ def test_merge_upsert_antijoin_no_cartesian(spark):
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_exact_percentiles_have_no_value_buffer_aggregate(spark):
+    """The exact-percentile queries must stay on the rank-based form:
+    Spark's builtin percentile() aggregates through a per-task
+    value->count hashmap (planned as ObjectHashAggregate over
+    TypedAggregateWithHashMapAsBuffer) whose serialized partial state
+    OOMed the r7 sf10 probe. The rank form plans as spillable Sort +
+    broadcast rank-pick; neither ObjectHashAggregate nor a percentile
+    aggregate may appear."""
+    for name in (
+        "agg_percentiles",
+        "stats_percentiles_exact",
+        "agg_approx_percentile",
+    ):
+        df = registry.all_queries()[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # The exact `percentile(` aggregate (the value-buffer one) must
+        # not appear anywhere. `percentile_approx(` is allowed — its
+        # ObjectHashAggregate state is a bounded QuantileSummaries
+        # sketch, not a value map — and is agg_approx_percentile's
+        # entire point.
+        assert not re.search(r"\bpercentile\(", plan), name
+        if name != "agg_approx_percentile":
+            assert "ObjectHashAggregate" not in plan, name
