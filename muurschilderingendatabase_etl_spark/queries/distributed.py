@@ -63,13 +63,26 @@ def with_global_row_number(
     constant column (broadcast single-row join) — consumers like exact
     NTILE need (rank, total) and this keeps the whole plan lazy.
     """
+    from pyspark.storagelevel import StorageLevel
+
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     # Lazy localCheckpoint: the range shuffle's output is materialized
     # once (on first action) and BOTH branches below read those stored
     # partitions — partition assignment is provably identical across the
     # fork regardless of exchange-reuse or boundary-sampling behavior.
-    base = df.repartitionByRange(n_parts, *order_by).localCheckpoint(eager=False)
+    # DISK_ONLY, deliberately: the checkpoint exists for plan-fork
+    # stability, not reuse speed, and the default MEMORY_AND_DESER level
+    # pins the whole ranged dataset in unified STORAGE memory — an sf10
+    # probe of agg_approx_percentile (this ranker + percentile_approx's
+    # ObjectHashAggregate sharing one job wave) died with
+    # UNABLE_TO_ACQUIRE_MEMORY because the pinned blocks squeezed the
+    # execution pool below what 32 concurrent aggregate tasks could
+    # spill their way out of. Disk blocks cost one linear write+read and
+    # leave execution memory whole at any corpus size.
+    base = df.repartitionByRange(n_parts, *order_by).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
 
     counts = (
         base.select(F.spark_partition_id().alias("_pid"))

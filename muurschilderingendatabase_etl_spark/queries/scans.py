@@ -360,10 +360,19 @@ def sink_sorted_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a single dimension). At 100 TB: range-partition by date, sort
     within, and time-bounded scans touch only their row groups."""
     tmp = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_sorted_"))
+    # Partition count follows cluster fan-out, never a constant: a fixed
+    # 8-way write sorts n/8 rows per task on however many cores exist —
+    # the r7 sf10 tail probe measured exactly that as the suite's one
+    # super-linear entry (18.8x for 10x data, 8 of 32 cores busy). On a
+    # real cluster defaultParallelism grows with executors and per-task
+    # sort volume stays bounded; file SIZE (not count) is the knob a
+    # 100 TB deployment adds via maxRecordsPerFile.
     (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_shipdate", "l_extendedprice")
-        .repartitionByRange(8, "l_shipdate")
+        .repartitionByRange(
+            spark.sparkContext.defaultParallelism, "l_shipdate"
+        )
         .sortWithinPartitions("l_shipdate")
         .write.mode("overwrite")
         .parquet(tmp)
@@ -426,7 +435,8 @@ def sink_zorder_2d_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         t(spark, sf_dir, "orders")
         .select("o_custkey", "o_orderdate", "o_totalprice", z.alias("zv"))
-        .repartitionByRange(8, "zv")
+        # cluster-fan-out partitioning, same rationale as the sorted sink
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "zv")
         .sortWithinPartitions("zv")
         .drop("zv")
         .write.mode("overwrite")
