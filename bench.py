@@ -39,6 +39,12 @@ def _cpu_snapshot():
         with open("/proc/stat") as fh:
             vals = [int(x) for x in fh.readline().split()[1:]]
         busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+        # field 8 = steal: jiffies the hypervisor withheld from this VM.
+        # Zero at idle, spikes exactly when the bench demands all 32
+        # cores on an oversubscribed host — the mechanism behind the
+        # ~35% identical-code suite swings (BENCH_PROTOCOL.md): in-VM
+        # other_cpu_cores stays ~0 while every query uniformly slows.
+        steal = vals[7] if len(vals) > 7 else 0
         me = os.getpid()
         ppid: dict[int, int] = {}
         cpu: dict[int, int] = {}
@@ -63,7 +69,7 @@ def _cpu_snapshot():
             return False
 
         ours = sum(c for p, c in cpu.items() if in_tree(p))
-        return busy, ours
+        return busy, ours, steal
     except (OSError, ValueError, IndexError):
         # diagnostics must never break the bench contract
         return None
@@ -118,6 +124,9 @@ def main() -> None:
         other = (snap1[0] - snap0[0]) - (snap1[1] - snap0[1])
         contention["other_cpu_cores"] = round(max(0.0, other / hz / elapsed), 2)
         contention["bench_cpu_cores"] = round((snap1[1] - snap0[1]) / hz / elapsed, 2)
+        contention["steal_cpu_cores"] = round(
+            max(0.0, (snap1[2] - snap0[2]) / hz / elapsed), 2
+        )
     # Full per-query detail goes to a sidecar file and an early stdout line;
     # the FINAL stdout line stays small (the driver parses the tail of the
     # output, and a single ~4 KB line with 121 queries overflows its window —
