@@ -340,8 +340,11 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_state_partitions,
     )
 
+    from muurschilderingendatabase_etl_spark.queries.scans import _rm_at_exit
+
     srcdir, parked = stage_events_two_phase(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="msdb_late_")
+    # atexit (not eager): the returned frame reads outdir lazily
+    work = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_late_"))
     ckpt = os.path.join(work, "ckpt")
     outdir = os.path.join(work, "out")
 
@@ -449,9 +452,12 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-DataFrame logic — the escape hatch for sinks Spark lacks
     (JDBC upsert, multi-table writes). Result = re-read of everything
     written, aggregated."""
+    import shutil
     import tempfile
 
-    outdir = tempfile.mkdtemp(prefix="msdb_feb_out_")
+    from muurschilderingendatabase_etl_spark.queries.scans import _rm_at_exit
+
+    outdir = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_feb_out_"))
     ev = read_events_stream(spark, sf_dir).select("event_type", "value")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -461,14 +467,19 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_state_partitions,
     )
 
-    with stream_state_partitions(spark):
-        q = (
-            ev.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="msdb_feb_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="msdb_feb_ckpt_")
+    try:
+        with stream_state_partitions(spark):
+            q = (
+                ev.writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        # run-to-completion replay: checkpoint is dead once terminated
+        shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.read.parquet(outdir)
         .groupBy("event_type")

@@ -13,8 +13,10 @@ and state management are already in place.
 
 from __future__ import annotations
 
+import atexit
 import contextlib
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -59,6 +61,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _STAGED.get(key)
     if staged is None:
         staged = tempfile.mkdtemp(prefix="msdb_events_stage_")
+        # session-scoped reuse, deleted at interpreter exit (184 MB per
+        # sf_dir at sf10; previously leaked across sessions)
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
         t(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
         _STAGED[key] = staged
     schema = spark.read.parquet(staged).schema
@@ -70,16 +75,28 @@ def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame
     return the materialized result as a batch DataFrame."""
     name = f"msdb_stream_{uuid.uuid4().hex[:12]}"
     spark = result.sparkSession
-    with stream_state_partitions(spark):
-        query = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="msdb_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="msdb_ckpt_")
+    try:
+        with stream_state_partitions(spark):
+            query = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+    finally:
+        # The checkpoint exists only for THIS availableNow run — the
+        # memory sink holds the materialized rows once the query
+        # terminates, so the state-store snapshots are dead weight.
+        # Without this a long-lived session (bench: 13 streaming
+        # queries per run; the round driver: hundreds) leaks one
+        # checkpoint dir per execution — measured 318 MB each at sf10.
+        # A RESUMABLE production stream keeps its checkpoint; this
+        # helper is by contract a run-to-completion replay.
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -105,6 +122,7 @@ def stage_events_two_phase(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _STAGED2:
         staged = tempfile.mkdtemp(prefix="msdb_events_2phase_")
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
         srcdir = os.path.join(staged, "source")
         os.makedirs(srcdir)
         ev = t(spark, sf_dir, "events")
