@@ -118,3 +118,24 @@ def test_processing_time_soak_bounded_state(spark, tmp_path):
     assert max(samples[-3:]) <= early + 400, (
         f"state still growing in second half of soak: {samples}"
     )
+
+
+def test_replay_leaves_no_scratch_dirs(spark):
+    """run_to_memory must delete its per-execution checkpoint dir once
+    the availableNow replay terminates (r7: a long-lived session leaked
+    one dir per streaming execution — 318 MB each at sf10, 13 per bench
+    run, hundreds per driver round). Session-scoped staging dirs may
+    exist (removed at interpreter exit); per-RUN checkpoints may not
+    outlive the call."""
+    import glob
+
+    before = set(glob.glob("/tmp/msdb_ckpt_*")) | set(
+        glob.glob("/tmp/msdb_feb_ckpt_*")
+    )
+    stream_tumbling_window(spark, SF_DIR).collect()
+    after = set(glob.glob("/tmp/msdb_ckpt_*")) | set(
+        glob.glob("/tmp/msdb_feb_ckpt_*")
+    )
+    assert after - before == set(), (
+        f"streaming replay leaked checkpoint dirs: {sorted(after - before)}"
+    )
