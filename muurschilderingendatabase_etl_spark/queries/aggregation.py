@@ -26,9 +26,15 @@ from muurschilderingendatabase_etl_spark.tables import t
       l_returnflag,
       l_linestatus,
       ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-      ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+           AS DOUBLE)                                             AS sum_base_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+           AS DOUBLE)                                             AS sum_disc_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                     * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+           AS DOUBLE)                                             AS sum_charge,
       ROUND(AVG(l_quantity), 2)                                   AS avg_qty,
       ROUND(AVG(l_extendedprice), 2)                              AS avg_price,
       ROUND(AVG(l_discount), 4)                                   AS avg_disc,
@@ -41,16 +47,32 @@ from muurschilderingendatabase_etl_spark.tables import t
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q1 shape: the canonical partial+final hash aggregation.
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    #
+    # Money sums run in DECIMAL, as the TPC-H spec types them: an r7
+    # sf10 parity probe caught sum_disc_price/sum_charge off by exactly
+    # one cent vs DuckDB — double summation of 10M inexact terms per
+    # group drifts ~1 ulp at 3.6e11 magnitude, and ROUND(x, 2) flips a
+    # cent whenever the true value sits near a boundary (the same
+    # cross-engine class as the r6 timeseries_resample_ffill fix).
+    # Decimal terms are exact (prices/discounts/taxes are 2dp by
+    # construction), decimal SUM is order-independent and exact at any
+    # corpus size, both engines round the same exact decimal, and the
+    # final cast emits the identical double. Perf cost is confined to
+    # the three money aggregates (decimal partials still combine
+    # map-side); the avg_* columns stay double — their magnitudes put
+    # 1-ulp drift 9 orders below the rounding granularity.
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = price * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
     return (
         t(spark, sf_dir, "lineitem")
         .where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),

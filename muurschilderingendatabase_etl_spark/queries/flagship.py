@@ -21,7 +21,9 @@ from muurschilderingendatabase_etl_spark.tables import t
 _ORACLE = """
 SELECT
   n_name,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+       AS DOUBLE) AS revenue,
   COUNT(*) AS line_count
 FROM lineitem
 JOIN orders   ON l_orderkey  = o_orderkey
@@ -50,15 +52,19 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
 
+    # Revenue in DECIMAL — exact, summation-order-independent at any
+    # corpus size (r7: sibling double sums flipped a cent at sf10; see
+    # agg_pricing_summary).
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("line_count"),
         )
         .orderBy(F.desc("revenue"), "n_name")

@@ -116,10 +116,10 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     oracle="""
     SELECT l_returnflag,
-           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.25)  / 100, 4) AS p25,
-           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.5)   / 100, 4) AS p50,
-           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.75)  / 100, 4) AS p75,
-           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.875) / 100, 4) AS p875
+           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.25)  / 100, 5) AS p25,
+           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.5)   / 100, 5) AS p50,
+           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.75)  / 100, 5) AS p75,
+           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.875) / 100, 5) AS p875
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -135,7 +135,12 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-exact quantile fractions (k/8), so every intermediate double
     is exact and both engines produce bit-identical values — rounding a
     raw dollar median would sit on a half-cent boundary and amplify a
-    1-ulp interpolation difference into a whole cent."""
+    1-ulp interpolation difference into a whole cent. The output rounds
+    to FIVE decimals, not four: cents interpolated at eighths carry at
+    most 3 fractional digits (.875), i.e. 5 decimals after /100, so
+    ROUND(x, 5) is a no-op — an r7 sf10 parity probe caught ROUND(x, 4)
+    landing on the true decimal midpoint X.xx875, where Spark's and
+    DuckDB's tie-breaking disagree (p875 off by exactly 1e-4)."""
     from muurschilderingendatabase_etl_spark.queries.distributed import (
         exact_group_percentiles,
     )
@@ -150,7 +155,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qs.select(
         "l_returnflag",
         *[
-            F.round(F.col("qs").getItem(i) / 100, 4).alias(name)
+            F.round(F.col("qs").getItem(i) / 100, 5).alias(name)
             for i, name in enumerate(["p25", "p50", "p75", "p875"])
         ],
     )

@@ -70,7 +70,9 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -90,10 +92,14 @@ def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     order and broadcasts the dims; no hand-scheduling."""
     for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
         _view(spark, sf_dir, name, name)
+    # Revenue in DECIMAL on both sides — exact at any corpus size (r7:
+    # sibling double sums flipped a cent at sf10; see agg_pricing_summary).
     return spark.sql(
         """
         SELECT n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey
           AND l_orderkey = o_orderkey
