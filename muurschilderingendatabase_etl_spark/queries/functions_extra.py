@@ -20,8 +20,16 @@ from muurschilderingendatabase_etl_spark.tables import t
     "agg_min_by_max_by",
     oracle="""
     SELECT o_custkey,
-           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           arg_min(o_orderkey,
+                   lpad(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                             AS VARCHAR), 12, '0')
+                   || lpad(CAST(o_orderkey AS VARCHAR), 12, '0'))
+             AS cheapest_order,
+           arg_max(o_orderkey,
+                   lpad(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                             AS VARCHAR), 12, '0')
+                   || lpad(CAST(o_orderkey AS VARCHAR), 12, '0'))
+             AS priciest_order,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -30,14 +38,31 @@ from muurschilderingendatabase_etl_spark.tables import t
 )
 def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (argmin/argmax) — fetch the extreme row's OTHER
-    column without a self-join or window. o_totalprice values are unique
-    per customer in TPC-H data, so the argmin is well-defined."""
+    column without a self-join or window.
+
+    The ordering key is (price-in-cents, orderkey) encoded as one
+    zero-padded string, NOT the raw price: min_by under a tie returns
+    an engine-arbitrary row, and an r7 sf10 parity probe caught exactly
+    that — with 1.5M customers the cent-quantized price space collides
+    within a customer a couple of times per corpus, and Spark and
+    DuckDB picked different orders. The composite key is a total order,
+    so the argmin is well-defined at every scale on both engines
+    (string form because DuckDB's arg_min accepts no struct ordering;
+    zero-padding makes lexicographic = numeric)."""
+    key = F.concat(
+        F.lpad(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            12,
+            "0",
+        ),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by("o_orderkey", key).alias("cheapest_order"),
+            F.max_by("o_orderkey", key).alias("priciest_order"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .where(F.col("n_orders") >= 2)
