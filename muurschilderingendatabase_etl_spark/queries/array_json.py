@@ -224,7 +224,9 @@ def array_hof_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(norm, 4).alias("l2_norm"),
-        F.round(F.element_at("embedding", 1).cast("double") / norm, 6).alias(
-            "first_unit"
-        ),
+        # try_divide: a zero vector has no unit direction — NULL, matching
+        # DuckDB's x/0, instead of an ANSI DIVIDE_BY_ZERO job abort.
+        F.round(
+            F.try_divide(F.element_at("embedding", 1).cast("double"), norm), 6
+        ).alias("first_unit"),
     )

@@ -75,8 +75,10 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.agg(
         F.count(F.lit(1)).alias("n_signup_users"),
         F.count("p_ts").alias("n_converted"),
+        # try_divide: NULL on an empty funnel (0 signup users) instead of
+        # ANSI DIVIDE_BY_ZERO — matching DuckDB, whose x/0 is NULL.
         F.round(
-            F.count("p_ts").cast("double") / F.count(F.lit(1)), 4
+            F.try_divide(F.count("p_ts").cast("double"), F.count(F.lit(1))), 4
         ).alias("conversion_rate"),
         F.round(F.avg(hours), 2).alias("avg_hours_to_convert"),
     )

@@ -107,6 +107,13 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast whose lineage would drag the whole edge pipeline along.
     # It also selects the join strategy for the whole loop.
     n_nodes = float(ed.select("src").distinct().count())
+    if n_nodes == 0:
+        # Empty graph (no lineitem rows): the rank seed 1/n is undefined
+        # and every iteration would be a no-op — return the empty result
+        # with the output schema instead of dividing by zero.
+        return ed.select(
+            F.col("src").alias("node"), F.lit(0.0).alias("pr")
+        ).where(F.lit(False))
     use_broadcast = n_nodes <= BROADCAST_MAX_NODES
     if use_broadcast:
         # (src, dst, deg) — the per-iteration join input, computed ONCE

@@ -228,15 +228,16 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: time-partitioned facts make every time-bounded query touch
     only its slice."""
     tmp = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_part_"))
-    (
-        t(spark, sf_dir, "orders")
-        .withColumn("order_year", F.year("o_orderdate"))
-        .write.mode("overwrite")
-        .partitionBy("order_year")
-        .parquet(tmp)
+    staged = t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
     )
+    staged.write.mode("overwrite").partitionBy("order_year").parquet(tmp)
     return (
-        spark.read.parquet(tmp)
+        # Explicit read schema: the layout is known to the writer, so the
+        # read-back never depends on file-footer inference — and an empty
+        # source (zero partition dirs) stays a well-typed empty scan
+        # instead of UNABLE_TO_INFER_SCHEMA.
+        spark.read.schema(staged.schema).parquet(tmp)
         .where(F.col("order_year") == 1997)
         .groupBy(F.col("order_year").cast("int").alias("order_year"), "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -519,14 +520,13 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     mechanism that keeps star-schema joins from reading every
     partition when the filter lives on the dimension."""
     tmp = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_dpp_"))
-    (
-        t(spark, sf_dir, "orders")
-        .withColumn("o_year", F.year("o_orderdate"))
-        .write.partitionBy("o_year")
-        .mode("overwrite")
-        .parquet(tmp)
+    staged = t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
     )
-    fact = spark.read.parquet(tmp)
+    staged.write.partitionBy("o_year").mode("overwrite").parquet(tmp)
+    # Explicit schema (see sink_partitioned_pruning): an empty fact side
+    # must read back as a typed empty scan, not fail schema inference.
+    fact = spark.read.schema(staged.schema).parquet(tmp)
     dim = (
         spark.range(1992, 2005)
         .select(F.col("id").cast("int").alias("d_year"))

@@ -380,17 +380,32 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Corpus-adaptive nprobe (count rides the already-cached vectors).
     nprobe = _ivf_nprobe(emb.count())
+    if not sample:
+        # Empty corpus: no vectors to train on, no neighbors to return —
+        # emit the empty result with the output schema (a routine case at
+        # scale: an ingest slice with no embeddings yet).
+        empty = emb.select(
+            F.col("vec_id").alias("q_id"),
+            "vec_id",
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).cast("long").alias("rk"),
+        ).where(F.lit(False))
+        emb.unpersist()
+        return empty
     # Seed determinism: the k sample vectors with the smallest vec_id.
     sample.sort(key=lambda r: int(r.vec_id))
     X = np.array([[float(x) for x in r.v] for r in sample])
-    C = X[:_IVF_K].copy()
+    # A corpus smaller than _IVF_K trains fewer cells (k_eff = |sample|);
+    # every downstream loop runs over the trained cells only.
+    k_eff = min(_IVF_K, len(X))
+    C = X[:k_eff].copy()
     for _ in range(_IVF_ITERS):
         # assign: argmin squared distance (ties -> lowest cid, argmin's
         # first-match rule)
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         a = d2.argmin(axis=1)
         newC = C.copy()  # empty cell keeps its old centroid
-        for j in range(_IVF_K):
+        for j in range(k_eff):
             m = a == j
             if m.any():
                 newC[j] = X[m].mean(axis=0)
@@ -398,7 +413,7 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         C = newC
     cent: list[tuple[int, list[float]]] = [
-        (j, [float(x) for x in C[j]]) for j in range(_IVF_K)
+        (j, [float(x) for x in C[j]]) for j in range(k_eff)
     ]
 
     def assign_expr(cents: list[tuple[int, list[float]]]):
