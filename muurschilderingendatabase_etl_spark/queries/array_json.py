@@ -59,8 +59,12 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object, repeated field reads don't re-parse the JSON text.
     The shredded-variant encoding is the semi-structured scale story
     (columnarized JSON fields with pushdown in Parquet readers)."""
-    v = F.parse_json("props")
-    k = F.variant_get(v, "$.k", "bigint")
+    # try_ variants: malformed JSON (or a non-numeric k) yields NULL and
+    # drops out of the aggregates instead of MALFORMED_RECORD_IN_PARSING
+    # aborting the job — the posture a 100 TB ingest needs, where some
+    # slice of props is always garbage.
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
     return (
         t(spark, sf_dir, "events")
         .where(F.col("event_id") < 5000)

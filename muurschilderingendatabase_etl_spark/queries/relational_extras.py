@@ -174,8 +174,15 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    # try_divide form instead of builtin corr: ANSI-mode corr aborts on a
+    # zero-variance group where DuckDB (and the math) say NULL — see
+    # stats_corr_moments for the 1-ulp equivalence argument.
+    corr = F.try_divide(
+        F.covar_samp("l_quantity", "l_extendedprice"),
+        F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+    )
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "covar_qty_price"
         ),

@@ -93,7 +93,11 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             _norm(F.col("v")).alias("qnorm"),
         )
     )
-    cosine = _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
+    # try_divide: a zero vector has no direction — cosine NULL (DuckDB's
+    # x/0), ranked last by the NULLS LAST desc ordering, not a job abort.
+    cosine = F.try_divide(
+        _dot(F.col("qv"), F.col("cv")), F.col("qnorm") * F.col("cnorm")
+    )
     scored = (
         corpus.crossJoin(F.broadcast(queries_df))
         .where(F.col("q_id") != F.col("vec_id"))
@@ -234,7 +238,11 @@ def _lsh_ann(
             F.col("tp.tid").alias("qtid"), F.col("tp.probe").alias("probe"),
         )
     )
-    cosine = _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
+    # try_divide: a zero vector has no direction — cosine NULL (DuckDB's
+    # x/0), ranked last by the NULLS LAST desc ordering, not a job abort.
+    cosine = F.try_divide(
+        _dot(F.col("qv"), F.col("cv")), F.col("qnorm") * F.col("cnorm")
+    )
     scored = (
         corpus.join(
             F.broadcast(queries_df),
@@ -278,8 +286,9 @@ def similarity_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
     )
     a, b = emb.alias("a"), emb.alias("b")
-    cosine = _dot(F.col("a.v"), F.col("b.v")) / (
-        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    cosine = F.try_divide(
+        _dot(F.col("a.v"), F.col("b.v")),
+        _norm(F.col("a.v")) * _norm(F.col("b.v")),
     )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -466,8 +475,9 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("q_id") != F.col("vec_id"))
         .observe("ivf_search", F.count(F.lit(1)).alias("n_candidates"))
     )
-    cosine = _dot(F.col("qv"), F.col("v")) / (
-        _norm(F.col("qv")) * _norm(F.col("v"))
+    cosine = F.try_divide(
+        _dot(F.col("qv"), F.col("v")),
+        _norm(F.col("qv")) * _norm(F.col("v")),
     )
     wk = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     out = (

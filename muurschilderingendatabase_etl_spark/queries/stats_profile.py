@@ -44,11 +44,20 @@ def stats_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic is an algebraic aggregate (mergeable partial states), so
     the plan map-side-combines and the exchange carries 3 rows."""
     li = t(spark, sf_dir, "lineitem")
+    # Pearson as try_divide(covar_samp, sd·sd), not builtin corr: under
+    # ANSI mode Spark's corr ABORTS THE JOB on a zero-variance group
+    # (its internal ck/sqrt(xMk·yMk) divides by zero) where DuckDB
+    # returns NULL — and corr is undefined there, so NULL is the right
+    # answer. The (n-1) factors cancel exactly, making this the same
+    # statistic to within 1 ulp, far inside the 6 dp output rounding
+    # (parity re-verified at sf0.01 and sf10).
+    corr = F.try_divide(
+        F.covar_samp("l_quantity", "l_extendedprice"),
+        F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+    )
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-            "qty_price_corr"
-        ),
+        F.round(corr, 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "qty_price_covar"
         ),
@@ -88,7 +97,12 @@ def stats_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = orders.agg(
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
-    span = (F.col("o_totalprice") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    # try_divide: a constant column (mx == mn) has zero range — the span
+    # is NULL (DuckDB's x/0), least() skips the NULL on both engines and
+    # every row lands in the top bin, instead of an ANSI job abort.
+    span = F.try_divide(
+        F.col("o_totalprice") - F.col("mn"), F.col("mx") - F.col("mn")
+    )
     bin_ = F.least(
         F.floor(span * float(N_BINS)), F.lit(N_BINS - 1)
     ).cast("long")

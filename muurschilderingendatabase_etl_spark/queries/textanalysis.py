@@ -113,9 +113,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_punct"),
         stop.alias("n_stop"),
     )
-    word_ratio = F.col("n_chars").cast("double") / F.col("n_words")
-    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
-    stop_ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    # try_divide: an empty doc has n_chars = 0 — its ratios are NULL
+    # (DuckDB's x/0) and drop out of the AVGs, not an ANSI job abort.
+    # (n_words is never 0: split('') yields [''], size 1, both engines.)
+    word_ratio = F.try_divide(F.col("n_chars").cast("double"), F.col("n_words"))
+    punct_ratio = F.try_divide(F.col("n_punct").cast("double"), F.col("n_chars"))
+    stop_ratio = F.try_divide(F.col("n_stop").cast("double"), F.col("n_words"))
     passes = (
         F.col("n_words").between(20, 1000) & (stop_ratio < 0.5)
     )
