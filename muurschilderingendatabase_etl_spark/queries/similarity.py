@@ -372,9 +372,17 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     # cache(): the sample job, the assignment pass and the query lookup
-    # all re-use the cast vectors.
+    # all re-use the cast vectors. Invalid vectors (NULL, or carrying a
+    # NULL component) are excluded up front: they cannot be trained on,
+    # assigned to a cell, or ranked — the standard ANN-index ingest
+    # contract — and a None reaching the driver-side NumPy training
+    # would otherwise abort the job.
     emb = (
         t(spark, sf_dir, "embeddings")
+        .where(
+            F.col("embedding").isNotNull()
+            & F.forall("embedding", lambda x: x.isNotNull())
+        )
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .cache()
     )

@@ -268,7 +268,9 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-            seen |= set(pdf["event_type"])
+            # dropna: a NULL event_type is countable but not a type —
+            # and None poisons the sorted() in the state encoding.
+            seen |= set(pdf["event_type"].dropna())
         state.update((n, total, "|".join(sorted(seen))))
         yield pd.DataFrame(
             {

@@ -450,6 +450,18 @@ def _format_term(value: str, kind: str, lang: str | None, dtype: str | None,
     return out
 
 
+def _serializable(triples: DataFrame) -> DataFrame:
+    """Drop rows no Turtle document can represent: an RDF triple has no
+    NULL terms (RDF 1.1 abstract syntax), so a null s/p/o — e.g. a
+    literal built from a NULL source column — is not a triple. All three
+    writers skip such rows, mirroring the reference's garbage-triple
+    cleanup (export_from_omeka_s.py:53-59), instead of crashing the
+    formatter on None."""
+    return triples.where(
+        F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+    )
+
+
 def write_turtle(
     triples: DataFrame,
     path: str,
@@ -466,6 +478,7 @@ def write_turtle(
     handoff — documented scale ceiling, use parquet for the at-scale
     representation.
     """
+    triples = _serializable(triples)
     if auto_compact:
         prefixes = auto_prefixes(triples, prefixes)
     prefix_items = sorted((prefixes or {}).items())
@@ -518,6 +531,7 @@ def write_turtle_sharded(
         independently, and read_turtle(path) reassembles the graph.
 
     ``num_shards`` defaults to the session's shuffle parallelism."""
+    triples = _serializable(triples)
     if auto_compact:
         prefixes = auto_prefixes(triples, prefixes)
     prefix_items = sorted((prefixes or {}).items())
@@ -565,6 +579,7 @@ def serialize_turtle(
     scale — callers with big graphs belong on the distributed
     `write_turtle` sink. The limit check is a cheap pushdown-friendly
     `limit(n+1).count()`, not a full count of the graph."""
+    triples = _serializable(triples)
     n = triples.limit(max_triples + 1).count()
     if n > max_triples:
         raise ValueError(

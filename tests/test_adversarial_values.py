@@ -23,7 +23,7 @@ import tempfile
 import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
-from adversarial_sweep import make_fixture  # noqa: E402
+from adversarial_sweep import make_fixture, make_null_fixture  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -34,13 +34,37 @@ def adv_sf_dir():
     shutil.rmtree(dst, ignore_errors=True)
 
 
-def test_every_query_survives_adversarial_values(spark, adv_sf_dir):
+@pytest.fixture(scope="module")
+def null_sf_dir():
+    dst = tempfile.mkdtemp(prefix="msdb_null_sf_")
+    make_null_fixture(dst)
+    yield dst
+    shutil.rmtree(dst, ignore_errors=True)
+
+
+def _sweep(spark, sf_dir) -> dict[str, str]:
     import __spark_entry__ as mod
 
     failures: dict[str, str] = {}
     for name, fn in mod.queries().items():
         try:
-            fn(spark, adv_sf_dir).collect()
+            fn(spark, sf_dir).collect()
         except Exception as e:  # noqa: BLE001 — collecting all failures
             failures[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+    return failures
+
+
+def test_every_query_survives_adversarial_values(spark, adv_sf_dir):
+    failures = _sweep(spark, adv_sf_dir)
     assert not failures, f"{len(failures)} queries crash on adversarial values: {failures}"
+
+
+def test_every_query_survives_null_values(spark, null_sf_dir):
+    """Every parquet column is nullable, so NULL-laden rows are legal
+    input. The round-7 sweep caught three crashes: the Turtle writers
+    formatting a NULL term (now filtered — an RDF triple has no NULL
+    terms), IVF training on a NULL/NULL-component vector (now excluded
+    from the index), and the stateful-stream aggregator sorting a None
+    event_type into its state encoding (now dropna'd)."""
+    failures = _sweep(spark, null_sf_dir)
+    assert not failures, f"{len(failures)} queries crash on NULL values: {failures}"
