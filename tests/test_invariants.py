@@ -375,3 +375,26 @@ def test_merge_upsert_cow_semantics(spark):
         v0.where(~chg_keys).exceptAll(v1.where(~chg_keys)).count() == 0
         and v1.where(~chg_keys).exceptAll(v0.where(~chg_keys)).count() == 0
     )
+
+
+def test_skyline_fast_form_equals_quadratic_oracle():
+    # The sf10 skyline check (scripts/skyline_sf10_check.py) replaces
+    # the registered quadratic NOT EXISTS oracle with an O(n log n)
+    # running-max form. They are the same predicate split by the price
+    # comparison (q.price < p.price | q.price = p.price); prove the
+    # equivalence on real data where the quadratic side is feasible.
+    import duckdb
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from skyline_sf10_check import FAST_SKYLINE
+    import __spark_entry__ as mod
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW part AS SELECT * FROM '/root/testdata/sf0.01/part.parquet'"
+    )
+    slow = con.sql(mod.oracle_sql()["skyline_pareto_frontier"]).df()
+    fast = con.sql(FAST_SKYLINE).df()
+    cols = sorted(slow.columns)
+    c = lambda d: d[cols].sort_values(cols).reset_index(drop=True)  # noqa: E731
+    assert len(slow) == len(fast) and c(slow).equals(c(fast))
