@@ -48,31 +48,33 @@ from muurschilderingendatabase_etl_spark.tables import t
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q1 shape: the canonical partial+final hash aggregation.
     #
-    # Money sums run in DECIMAL, as the TPC-H spec types them: an r7
-    # sf10 parity probe caught sum_disc_price/sum_charge off by exactly
-    # one cent vs DuckDB — double summation of 10M inexact terms per
-    # group drifts ~1 ulp at 3.6e11 magnitude, and ROUND(x, 2) flips a
-    # cent whenever the true value sits near a boundary (the same
-    # cross-engine class as the r6 timeseries_resample_ffill fix).
-    # Decimal terms are exact (prices/discounts/taxes are 2dp by
-    # construction), decimal SUM is order-independent and exact at any
-    # corpus size, both engines round the same exact decimal, and the
-    # final cast emits the identical double. Perf cost is confined to
-    # the three money aggregates (decimal partials still combine
-    # map-side); the avg_* columns stay double — their magnitudes put
-    # 1-ulp drift 9 orders below the rounding granularity.
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_price = price * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    # Money sums are EXACT and summation-order-independent: an r7 sf10
+    # parity probe caught sum_disc_price/sum_charge off by exactly one
+    # cent vs DuckDB — double summation of 10M inexact terms per group
+    # drifts ~1 ulp at 3.6e11 magnitude, and ROUND(x, 2) flips a cent
+    # whenever the true value sits near a boundary (the same
+    # cross-engine class as the r6 timeseries_resample_ffill fix). The
+    # queries.money helpers keep the per-row arithmetic on the
+    # vectorized integer-cents path and pay DECIMAL only for the final
+    # sum (see that module for the magnitude/overflow analysis); the
+    # oracle keeps the clearer all-DECIMAL spelling — both compute the
+    # same exact rational. The avg_* columns stay double — their
+    # magnitudes put 1-ulp drift 9 orders below the rounding
+    # granularity.
+    from muurschilderingendatabase_etl_spark.queries import money
+
+    price, disc, tax = (
+        F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    )
     return (
         t(spark, sf_dir, "lineitem")
         .where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            money.sum_money(price).alias("sum_base_price"),
+            money.sum_disc_price(price, disc).alias("sum_disc_price"),
+            money.sum_charge(price, disc, tax).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),

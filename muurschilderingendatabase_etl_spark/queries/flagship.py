@@ -52,19 +52,20 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
 
-    # Revenue in DECIMAL — exact, summation-order-independent at any
-    # corpus size (r7: sibling double sums flipped a cent at sf10; see
-    # agg_pricing_summary).
-    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    )
+    # Revenue sums exactly on the integer-cents path — order-independent
+    # at any corpus size (r7: sibling double sums flipped a cent at
+    # sf10; see queries.money and agg_pricing_summary).
+    from muurschilderingendatabase_etl_spark.queries import money
+
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            money.sum_disc_price(
+                F.col("l_extendedprice"), F.col("l_discount")
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("line_count"),
         )
         .orderBy(F.desc("revenue"), "n_name")

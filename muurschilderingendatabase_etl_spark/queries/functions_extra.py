@@ -40,29 +40,31 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (argmin/argmax) — fetch the extreme row's OTHER
     column without a self-join or window.
 
-    The ordering key is (price-in-cents, orderkey) encoded as one
-    zero-padded string, NOT the raw price: min_by under a tie returns
-    an engine-arbitrary row, and an r7 sf10 parity probe caught exactly
-    that — with 1.5M customers the cent-quantized price space collides
-    within a customer a couple of times per corpus, and Spark and
-    DuckDB picked different orders. The composite key is a total order,
-    so the argmin is well-defined at every scale on both engines
-    (string form because DuckDB's arg_min accepts no struct ordering;
-    zero-padding makes lexicographic = numeric)."""
-    key = F.concat(
-        F.lpad(
-            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
-            12,
-            "0",
-        ),
-        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    The ordering key is the STRUCT (price-in-cents, orderkey), NOT the
+    raw price: min_by under a tie returns an engine-arbitrary row, and
+    an r7 sf10 parity probe caught exactly that — with 1.5M customers
+    the cent-quantized price space collides within a customer a couple
+    of times per corpus, and Spark and DuckDB picked different orders.
+    The composite key is a total order, so the argmin is well-defined
+    at every scale on both engines. Spark orders structs
+    lexicographically, so MIN(struct).k IS the argmin and stays on
+    vectorized integer comparison (the first fix encoded the key as a
+    zero-padded string on both sides; 1.7x slower from per-row lpad).
+    The ORACLE keeps the zero-padded-string arg_min — the identical
+    total order for non-negative ints inside the pad width — because
+    DuckDB's arg_min accepts no struct ordering and its struct MIN/MAX
+    holds per-group struct state (120 GB OOM at sf10), while the
+    string arg_min verified fine there."""
+    key = F.struct(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("p"),
+        F.col("o_orderkey").alias("k"),
     )
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.min_by("o_orderkey", key).alias("cheapest_order"),
-            F.max_by("o_orderkey", key).alias("priciest_order"),
+            F.min(key)["k"].alias("cheapest_order"),
+            F.max(key)["k"].alias("priciest_order"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .where(F.col("n_orders") >= 2)

@@ -178,23 +178,25 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit broadcast of the part dim: the fact side never shuffles.
-    # Revenue sums in DECIMAL (exact, summation-order-independent): an
-    # r7 sf10 parity probe caught the double sum off by one cent vs the
-    # oracle — 1-ulp drift at 1.4e11 magnitude landing on a ROUND
-    # boundary (see agg_pricing_summary for the full account).
+    # Revenue sums exactly on the integer-cents path (an r7 sf10 parity
+    # probe caught the double sum off by one cent vs the oracle — 1-ulp
+    # drift at 1.4e11 magnitude landing on a ROUND boundary; see
+    # queries.money for the mechanism and agg_pricing_summary for the
+    # full account).
+    from muurschilderingendatabase_etl_spark.queries import money
+
     part = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand"))
     lineitem = t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount"
-    )
-    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
     )
     return (
         lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            money.sum_disc_price(
+                F.col("l_extendedprice"), F.col("l_discount")
+            ).alias("revenue"),
         )
     )
 

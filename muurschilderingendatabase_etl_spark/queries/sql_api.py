@@ -92,14 +92,17 @@ def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     order and broadcasts the dims; no hand-scheduling."""
     for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
         _view(spark, sf_dir, name, name)
-    # Revenue in DECIMAL on both sides — exact at any corpus size (r7:
-    # sibling double sums flipped a cent at sf10; see agg_pricing_summary).
+    # Revenue sums exactly on the integer-cents path (see queries.money;
+    # the oracle keeps the clearer all-DECIMAL spelling — same exact
+    # rational on both sides).
+    from muurschilderingendatabase_etl_spark.queries.money import (
+        SQL_SUM_DISC_PRICE,
+    )
+
     return spark.sql(
-        """
+        f"""
         SELECT n_name,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
-                    AS DOUBLE) AS revenue
+               {SQL_SUM_DISC_PRICE} AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey
           AND l_orderkey = o_orderkey
