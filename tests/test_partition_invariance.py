@@ -34,6 +34,12 @@ QUERIES = [
     "sample_hash_stratified",    # hash-bucket sampling
     "sort_global_topk",          # range-partitioned global sort + limit
     "window_sessionize_gaps",    # per-key ordered window
+    # Exact money sums (queries/money.py): summation-order independence
+    # IS the contract — partial-aggregate boundaries move with the
+    # partition count, so any order-dependent accumulation (the double
+    # sums these replaced) could flip a rounded cent between configs.
+    "agg_pricing_summary",
+    "join_broadcast_dim",
 ]
 
 
