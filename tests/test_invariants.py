@@ -398,3 +398,30 @@ def test_skyline_fast_form_equals_quadratic_oracle():
     cols = sorted(slow.columns)
     c = lambda d: d[cols].sort_values(cols).reset_index(drop=True)  # noqa: E731
     assert len(slow) == len(fast) and c(slow).equals(c(fast))
+
+
+def test_geo_grid_form_equals_allpairs_oracle():
+    # The sf10 geo check (scripts/geo_sf10_check.py) mirrors the grid
+    # blocking in DuckDB because the registered all-pairs oracle is
+    # ~1.5e11 haversines at sf10. Prove grid-form == all-pairs-form IN
+    # DUCKDB on real data, so the at-scale check inherits the
+    # losslessness proof (blocking admits every pair within 500 km:
+    # +-1 lat cell and +-2 ring-wrapped lon cells cover the radius for
+    # |lat| <= 60 — the same covering argument the Spark plan documents).
+    import duckdb
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from geo_sf10_check import grid_oracle_sql
+    import __spark_entry__ as mod
+
+    con = duckdb.connect()
+    for t_ in ("supplier", "customer"):
+        con.sql(
+            f"CREATE VIEW {t_} AS SELECT * FROM "
+            f"'/root/testdata/sf0.01/{t_}.parquet'"
+        )
+    ap = con.sql(mod.oracle_sql()["geo_distance_join_grid"]).df()
+    gr = con.sql(grid_oracle_sql()).df()
+    cols = sorted(ap.columns)
+    c = lambda d: d[cols].sort_values(cols).reset_index(drop=True)  # noqa: E731
+    assert len(ap) == len(gr) and c(ap).equals(c(gr))
