@@ -425,3 +425,34 @@ def test_geo_grid_form_equals_allpairs_oracle():
     cols = sorted(ap.columns)
     c = lambda d: d[cols].sort_values(cols).reset_index(drop=True)  # noqa: E731
     assert len(ap) == len(gr) and c(ap).equals(c(gr))
+
+
+def test_pairminer_prefix_filter_forms_equal_allpairs_oracles():
+    # The sf10 pair-miner check (scripts/pairminer_sf10_check.py)
+    # replaces the all-pairs candidate stage with prefix filtering
+    # (Bayardo et al. WWW'07): Jaccard >= t forces >= ceil(t*|B|)
+    # common tokens, which cannot all sit in B's ceil(t*|B|)-1 suffix
+    # slots under a fixed global order — so every qualifying pair
+    # shares a prefix token. The exact verify is the registered
+    # oracle's own list_intersect, so values are computed identically.
+    # Prove form-identity on real data for all three queries.
+    import duckdb
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from pairminer_sf10_check import fast_oracle_sql
+    import __spark_entry__ as mod
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    )
+    for name in ["dedup_ngram_jaccard", "dedup_minhash_lsh",
+                 "dedup_connected_components"]:
+        slow = con.sql(mod.oracle_sql()[name]).df()
+        fast = con.sql(fast_oracle_sql(name)).df()
+        cols = sorted(slow.columns)
+        c = lambda d: d[cols].sort_values(cols).reset_index(drop=True)  # noqa: E731
+        assert len(slow) == len(fast) and c(slow).round(6).equals(
+            c(fast).round(6)
+        ), name
