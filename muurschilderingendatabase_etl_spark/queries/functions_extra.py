@@ -54,10 +54,18 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order for non-negative ints inside the pad width — because
     DuckDB's arg_min accepts no struct ordering and its struct MIN/MAX
     holds per-group struct state (120 GB OOM at sf10), while the
-    string arg_min verified fine there."""
-    key = F.struct(
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("p"),
-        F.col("o_orderkey").alias("k"),
+    string arg_min verified fine there.
+
+    NULL prices: a struct with a NULL field still participates in
+    Spark's MIN and sorts smallest, while arg_min skips NULL keys — so
+    the key is NULLed wholesale when the price is NULL (MIN/MAX ignore
+    NULL inputs), matching arg_min's skip semantics exactly (r7 ADVICE)."""
+    key = F.when(
+        F.col("o_totalprice").isNotNull(),
+        F.struct(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("p"),
+            F.col("o_orderkey").alias("k"),
+        ),
     )
     return (
         t(spark, sf_dir, "orders")

@@ -50,7 +50,7 @@ def sum_money(money: Column) -> Column:
 
 def sum_disc_price(price: Column, discount: Column) -> Column:
     """Exact SUM(price * (1 - discount)) for 2-dp inputs."""
-    e4 = cents(price) * (F.lit(100) - F.round(discount * 100).cast("long"))
+    e4 = cents(price) * pct_factor(-discount, 100)
     return (
         F.round(F.sum(e4.cast("decimal(20,0)")) / 10000, 2).cast("double")
     )
@@ -60,8 +60,8 @@ def sum_charge(price: Column, discount: Column, tax: Column) -> Column:
     """Exact SUM(price * (1 - discount) * (1 + tax)) for 2-dp inputs."""
     e6 = (
         cents(price)
-        * (F.lit(100) - F.round(discount * 100).cast("long"))
-        * (F.lit(100) + F.round(tax * 100).cast("long"))
+        * pct_factor(-discount, 100)
+        * pct_factor(tax, 100)
     )
     return (
         F.round(F.sum(e6.cast("decimal(20,0)")) / 1000000, 2).cast("double")

@@ -76,9 +76,12 @@ def _fast_pairs_sql(threshold: float, shingles: bool, per_source: bool) -> str:
       FROM tok JOIN df USING (tk)
     ),
     prefix AS (
-      -- first |u| - ceil(t*|u|) + 1 tokens in rarest-first order
+      -- first |u| - ceil(t*|u|) + 1 tokens in rarest-first order.
+      -- The 1e-9 guard keeps binary-inexact products (0.8*5 =
+      -- 4.0000000000000002) from CEILing one slot too high, which
+      -- would shorten the prefix and drop qualifying pairs (r7 ADVICE).
       SELECT doc_id, source, tk FROM ranked
-      WHERE rn <= nu - CEIL({threshold} * nu) + 1
+      WHERE rn <= nu - CEIL({threshold} * nu - 1e-9) + 1
     ),
     cand AS (
       SELECT DISTINCT LEAST(p.doc_id, t.doc_id) AS doc_a,

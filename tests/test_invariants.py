@@ -6,11 +6,22 @@ operator violates the property users build pipelines on.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from muurschilderingendatabase_etl_spark import registry
 from muurschilderingendatabase_etl_spark.tables import t
 from tests.conftest import SF_DIR
+
+# Fixture root for the DuckDB-only form-equivalence tests below, which
+# want the sf0.01 slice regardless of the Spark-parity SF_DIR. Honors
+# the same PARITY_SF_DIR override as conftest (r7 ADVICE): the root is
+# PARITY_SF_DIR's parent so any relocated testdata layout keeps working.
+TESTDATA_ROOT = os.path.dirname(
+    os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001").rstrip("/")
+)
+EQ_SF_DIR = os.path.join(TESTDATA_ROOT, "sf0.01")
 
 
 def test_exact_dedup_idempotent(spark):
@@ -318,10 +329,10 @@ def test_geo_fixture_clear_of_ulp_boundary():
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         con = duckdb.connect()
         con.sql(
-            f"CREATE VIEW supplier AS SELECT * FROM '/root/testdata/{sf}/supplier.parquet'"
+            f"CREATE VIEW supplier AS SELECT * FROM '{TESTDATA_ROOT}/{sf}/supplier.parquet'"
         )
         con.sql(
-            f"CREATE VIEW customer AS SELECT * FROM '/root/testdata/{sf}/customer.parquet'"
+            f"CREATE VIEW customer AS SELECT * FROM '{TESTDATA_ROOT}/{sf}/customer.parquet'"
         )
         gap, min_d = con.sql(
             f"""
@@ -391,7 +402,7 @@ def test_skyline_fast_form_equals_quadratic_oracle():
 
     con = duckdb.connect()
     con.sql(
-        "CREATE VIEW part AS SELECT * FROM '/root/testdata/sf0.01/part.parquet'"
+        f"CREATE VIEW part AS SELECT * FROM '{EQ_SF_DIR}/part.parquet'"
     )
     slow = con.sql(mod.oracle_sql()["skyline_pareto_frontier"]).df()
     fast = con.sql(FAST_SKYLINE).df()
@@ -418,7 +429,7 @@ def test_geo_grid_form_equals_allpairs_oracle():
     for t_ in ("supplier", "customer"):
         con.sql(
             f"CREATE VIEW {t_} AS SELECT * FROM "
-            f"'/root/testdata/sf0.01/{t_}.parquet'"
+            f"'{EQ_SF_DIR}/{t_}.parquet'"
         )
     ap = con.sql(mod.oracle_sql()["geo_distance_join_grid"]).df()
     gr = con.sql(grid_oracle_sql()).df()
@@ -445,7 +456,7 @@ def test_pairminer_prefix_filter_forms_equal_allpairs_oracles():
     con = duckdb.connect()
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM "
-        "'/root/testdata/sf0.01/documents.parquet'"
+        f"'{EQ_SF_DIR}/documents.parquet'"
     )
     for name in ["dedup_ngram_jaccard", "dedup_minhash_lsh",
                  "dedup_connected_components"]:
@@ -456,3 +467,40 @@ def test_pairminer_prefix_filter_forms_equal_allpairs_oracles():
         assert len(slow) == len(fast) and c(slow).round(6).equals(
             c(fast).round(6)
         ), name
+
+
+def test_argmin_skips_null_price_like_arg_min(spark, tmp_path):
+    # r7 ADVICE verified divergence: a struct key with a NULL price field
+    # still participates in Spark's MIN and sorts smallest, while DuckDB's
+    # arg_min skips NULL keys. agg_min_by_max_by now NULLs the whole key
+    # when the price is NULL; pin the exact 3-row repro from the advice
+    # (expected cheapest = the non-NULL minimum, k=10 not k=11).
+    import duckdb
+
+    rows = [
+        (1, 11, None),    # NULL price must be skipped, not win
+        (1, 10, 5.00),
+        (1, 12, 9.00),
+        (2, 20, None),    # all-NULL group: both engines emit NULL argmins
+        (2, 21, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey INT, o_orderkey INT, o_totalprice DOUBLE"
+    )
+    pq = str(tmp_path / "orders.parquet")
+    df.coalesce(1).write.parquet(pq)
+    got = {
+        r["o_custkey"]: (r["cheapest_order"], r["priciest_order"])
+        for r in registry.all_queries()["agg_min_by_max_by"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{pq}/*.parquet'")
+    import __spark_entry__ as mod
+
+    want = {
+        int(r[0]): (r[1], r[2])
+        for r in con.sql(mod.oracle_sql()["agg_min_by_max_by"]).fetchall()
+    }
+    assert got == want == {1: (10, 12), 2: (None, None)}
