@@ -130,7 +130,9 @@ def main() -> None:
     # Full per-query detail goes to a sidecar file and an early stdout line;
     # the FINAL stdout line stays small (the driver parses the tail of the
     # output, and a single ~4 KB line with 121 queries overflows its window —
-    # VERDICT.md round 1).
+    # VERDICT.md round 1). The sidecar is GITIGNORED (r7 verdict item 3):
+    # official driver runs overwrite it in place, and a tracked copy left
+    # the tree dirty at every round boundary.
     detail = {
         "metric": "suite_wall_clock",
         "value": total,

@@ -320,19 +320,25 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having",
     oracle="""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS spend
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS spend
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 15
     """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spend rides the exact integer-cents money path (queries/money.py):
+    # the raw ROUND(SUM(double)) form sits one corpus decade from a
+    # 1-ulp cent flip (the class the r7 sf10 probe proved real).
+    from muurschilderingendatabase_etl_spark.queries import money
+
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            money.sum_money(F.col("o_totalprice")).alias("spend"),
         )
         .where(F.col("n_orders") >= 15)
     )
@@ -472,7 +478,8 @@ def agg_hll_rolling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
       CAST(COUNT(*) AS BIGINT) AS n,
-      ROUND(SUM(l_extendedprice), 2) AS revenue
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+           AS DOUBLE) AS revenue
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -486,7 +493,15 @@ def agg_two_stage_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is exactly the plain groupBy (the oracle runs the
     unsalted query). Spark's own map-side combine gives much of this
     for free — explicit salting is the portable version of the pattern
-    and the shape AQE's skew handling generalizes."""
+    and the shape AQE's skew handling generalizes.
+
+    The partials carry exact integer cents (queries/money.py): summing
+    raw doubles per salt bucket would make revenue depend on the salt
+    fan-out's summation order — the cent-flip class the r7 sf10 probe
+    proved real. Cents per (flag, salt) stay inside DECIMAL(20,0) at
+    any corpus size; the final re-sum widens automatically."""
+    from muurschilderingendatabase_etl_spark.queries import money
+
     li = t(spark, sf_dir, "lineitem")
     partial = (
         li.select(
@@ -497,10 +512,11 @@ def agg_two_stage_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "salt")
         .agg(
             F.count(F.lit(1)).alias("pn"),
-            F.sum("l_extendedprice").alias("prev"),
+            F.sum(money.cents(F.col("l_extendedprice")).cast("decimal(20,0)"))
+            .alias("prev_cents"),
         )
     )
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n"),
-        F.round(F.sum("prev"), 2).alias("revenue"),
+        F.round(F.sum("prev_cents") / 100, 2).cast("double").alias("revenue"),
     )

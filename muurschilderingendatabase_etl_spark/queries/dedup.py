@@ -885,7 +885,8 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
     FROM latest WHERE rk = 1
     GROUP BY event_type
     """,
@@ -901,7 +902,10 @@ def pipeline_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta is usually ≪ the snapshot, so at scale you'd partition both
     by key-hash and let AQE coalesce — no global sort anywhere. A real
     lakehouse deployment swaps this for Delta/Iceberg MERGE; the logical
-    semantics (latest-wins per key) are identical."""
+    semantics (latest-wins per key) are identical. total_value rides
+    the exact integer-cents money path (queries/money.py)."""
+    from muurschilderingendatabase_etl_spark.queries import money
+
     ev = t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -923,7 +927,7 @@ def pipeline_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money.sum_money(F.col("value")).alias("total_value"),
         )
     )
 

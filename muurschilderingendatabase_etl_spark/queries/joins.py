@@ -30,7 +30,8 @@ from muurschilderingendatabase_etl_spark.tables import t
     "join_inner_three_way",
     oracle="""
     SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-           ROUND(SUM(s_acctbal), 2) AS total_bal
+           CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total_bal
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -38,6 +39,9 @@ from muurschilderingendatabase_etl_spark.tables import t
     """,
 )
 def join_inner_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # total_bal rides the exact integer-cents money path (queries/money.py).
+    from muurschilderingendatabase_etl_spark.queries import money
+
     supplier = t(spark, sf_dir, "supplier")
     nation = F.broadcast(t(spark, sf_dir, "nation"))
     region = F.broadcast(t(spark, sf_dir, "region"))
@@ -47,7 +51,7 @@ def join_inner_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            money.sum_money(F.col("s_acctbal")).alias("total_bal"),
         )
     )
 
@@ -56,13 +60,18 @@ def join_inner_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_outer",
     oracle="""
     SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
+           CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0), 2)
+                AS DOUBLE) AS spend
     FROM customer
     LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     """,
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spend rides the exact integer-cents money path (queries/money.py);
+    # customers with no orders coalesce to 0.0 on both sides.
+    from muurschilderingendatabase_etl_spark.queries import money
+
     customer = t(spark, sf_dir, "customer").select("c_custkey")
     orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     return (
@@ -70,7 +79,9 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+            F.coalesce(
+                money.sum_money(F.col("o_totalprice")), F.lit(0.0)
+            ).alias("spend"),
         )
     )
 

@@ -28,7 +28,8 @@ _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
     oracle=f"""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
            {", ".join(
-               f"ROUND(SUM(CASE WHEN c_mktsegment = '{s}' THEN o_totalprice END), 2)"
+               f"CAST(ROUND(SUM(CASE WHEN c_mktsegment = '{s}' THEN"
+               f" CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE)"
                f" AS {s}" for s in _SEGMENTS
            )}
     FROM orders JOIN customer ON o_custkey = c_custkey
@@ -36,7 +37,12 @@ _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
     """,
 )
 def pivot_segment_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: revenue per market segment (columns) by order year (rows)."""
+    """Pivot: revenue per market segment (columns) by order year (rows).
+    Cell sums ride the exact integer-cents path (queries/money.py) — a
+    year×segment cell aggregates enough rows at scale to sit in the
+    ROUND(SUM(double)) cent-flip class the r7 sf10 probe proved real."""
+    from muurschilderingendatabase_etl_spark.queries import money
+
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = orders.join(
@@ -49,7 +55,7 @@ def pivot_segment_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivoted = (
         joined.groupBy("order_year")
         .pivot("c_mktsegment", _SEGMENTS)
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(money.sum_money(F.col("o_totalprice")))
     )
     return pivoted
 

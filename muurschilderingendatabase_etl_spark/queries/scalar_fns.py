@@ -52,12 +52,18 @@ def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)  AS order_year,
       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
       CAST(COUNT(*) AS BIGINT) AS n_orders,
-      ROUND(SUM(o_totalprice), 2) AS total
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total
     FROM orders
     GROUP BY order_year, order_month
     """,
 )
 def scalar_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # total rides the exact integer-cents money path (queries/money.py):
+    # a month of orders is exactly the group size where ROUND(SUM(double))
+    # starts flipping cents (the r7 sf10 probe's defect class).
+    from muurschilderingendatabase_etl_spark.queries import money
+
     return (
         t(spark, sf_dir, "orders")
         .groupBy(
@@ -66,7 +72,7 @@ def scalar_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            money.sum_money(F.col("o_totalprice")).alias("total"),
         )
     )
 
@@ -112,6 +118,13 @@ def scalar_date_trunc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documented OUT of the exact-cents money class (r7 verdict item 1):
+    these sums aggregate irrational terms (SQRT of a price) or non-money
+    rate statistics (squared tax, |discount - 0.05| deviation), where no
+    integer-cents representation exists. Both engines sum the same
+    doubles; the 4-6dp rounding granularity sits well above 1-ulp drift
+    at these magnitudes, and any residual flip would be caught by the
+    parity gate, not shipped silently."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_linenumber").agg(
         F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("sum_abs_dev"),

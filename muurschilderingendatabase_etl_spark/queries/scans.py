@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.queries import money
 from muurschilderingendatabase_etl_spark.tables import t
 
 
@@ -107,7 +108,8 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_parquet_roundtrip",
     oracle="""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -124,7 +126,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            money.sum_money(F.col("o_totalprice")).alias("total"),
         )
     )
     agg.write.mode("overwrite").parquet(path)
@@ -190,7 +192,8 @@ def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_orc_roundtrip",
     oracle="""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -205,7 +208,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            money.sum_money(F.col("o_totalprice")).alias("total"),
         )
     )
 
@@ -344,7 +347,8 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_sorted_data_skipping",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS sum_price,
            CAST(MIN(l_orderkey) AS BIGINT) AS min_key
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-06-01'
@@ -386,7 +390,7 @@ def sink_sorted_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            money.sum_money(F.col("l_extendedprice")).alias("sum_price"),
             F.min("l_orderkey").alias("min_key"),
         )
     )
@@ -396,7 +400,8 @@ def sink_sorted_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_zorder_2d_skipping",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS sum_price,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
     FROM orders
     WHERE o_custkey BETWEEN 100 AND 600
@@ -452,7 +457,7 @@ def sink_zorder_2d_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            money.sum_money(F.col("o_totalprice")).alias("sum_price"),
             F.countDistinct("o_custkey").alias("n_custs"),
         )
     )
@@ -503,7 +508,8 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS o_year,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
     FROM orders
     WHERE year(o_orderdate) IN (1996, 1998)
     GROUP BY 1
@@ -537,7 +543,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.col("o_year").cast("int").alias("o_year"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            money.sum_money(F.col("o_totalprice")).alias("revenue"),
         )
     )
 
@@ -582,7 +588,8 @@ def _merge_frames(base: DataFrame, chg: DataFrame) -> DataFrame:
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
     FROM merged GROUP BY event_type
     """,
 )
@@ -645,6 +652,6 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money.sum_money(F.col("value")).alias("total_value"),
         )
     )

@@ -29,7 +29,9 @@ def _view(spark: SparkSession, sf_dir: str, name: str, view: str) -> None:
     "sql_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority AS orderpriority
     FROM customer, orders, lineitem
@@ -44,13 +46,21 @@ def _view(spark: SparkSession, sf_dir: str, name: str, view: str) -> None:
     """,
 )
 def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape, submitted as SQL text via spark.sql."""
+    """TPC-H Q3 shape, submitted as SQL text via spark.sql.
+
+    Revenue rides the exact integer-cents path (queries.money): here a
+    1-ulp cent flip wouldn't just flip a cell, it could reorder the
+    ORDER BY revenue LIMIT 10 answer SET."""
     for name in ("customer", "orders", "lineitem"):
         _view(spark, sf_dir, name, name)
+    from muurschilderingendatabase_etl_spark.queries.money import (
+        SQL_SUM_DISC_PRICE,
+    )
+
     return spark.sql(
-        """
+        f"""
         SELECT l_orderkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               {SQL_SUM_DISC_PRICE} AS revenue,
                date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
                o_orderpriority AS orderpriority
         FROM customer, orders, lineitem
@@ -124,7 +134,8 @@ def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 2) AS total
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total
     FROM events
     GROUP BY event_type
     """,
@@ -133,16 +144,23 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation: phase 1 groups on (key, salt) so a
     dominant key spreads over _N_SALT reducers, phase 2 combines the
     partials per key. Result is identical to the direct groupBy (the
-    oracle IS the direct groupBy)."""
+    oracle IS the direct groupBy) — exactly, because the partials carry
+    integer cents (queries.money): raw double partials would make the
+    total depend on the salt fan-out's summation order."""
+    from muurschilderingendatabase_etl_spark.queries import money
+
     ev = t(spark, sf_dir, "events").withColumn(
         "salt", (F.rand(seed=7) * _N_SALT).cast("int")
     )
     partial = ev.groupBy("event_type", "salt").agg(
-        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum")
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(money.cents(F.col("value")).cast("decimal(20,0)")).alias(
+            "psum_cents"
+        ),
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        F.round(F.sum("psum"), 2).alias("total"),
+        F.round(F.sum("psum_cents") / 100, 2).cast("double").alias("total"),
     )
 
 

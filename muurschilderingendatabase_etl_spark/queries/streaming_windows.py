@@ -32,6 +32,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from muurschilderingendatabase_etl_spark.queries import money
 from muurschilderingendatabase_etl_spark.registry import query
 from muurschilderingendatabase_etl_spark.streaming.replay import (
     read_events_stream,
@@ -45,7 +46,8 @@ from muurschilderingendatabase_etl_spark.streaming.replay import (
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -57,7 +59,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money.sum_money(F.col("value")).alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -80,7 +82,8 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
     FROM assigned
     GROUP BY 1, 2
     """,
@@ -92,7 +95,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money.sum_money(F.col("value")).alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -126,7 +129,8 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -140,7 +144,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money.sum_money(F.col("value")).alias("total_value"),
         )
         .select(
             "user_id",
@@ -216,7 +220,8 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -232,7 +237,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        money.sum_money(F.col("value")).alias("total_value"),
     )
     return run_to_memory(agg, "complete")
 
@@ -242,7 +247,8 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value,
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
     FROM events
     GROUP BY user_id
@@ -255,28 +261,33 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     value is a bounded summary — not the rows — so state size is
     O(users), the 100-TB-safe shape. Deterministic under availableNow
     replay, hence oracle-checkable."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ev = read_events_stream(spark, sf_dir).select("user_id", "event_type", "value")
 
     def update(key, pdfs, state: GroupState):
-        n, total, types = (
-            state.get if state.exists else (0, 0.0, "")
+        # State carries INTEGER CENTS (queries/money.py class): a double
+        # running total would make the emitted value depend on batch
+        # arrival order; cents accumulate exactly in int64.
+        n, total_cents, types = (
+            state.get if state.exists else (0, 0, "")
         )
         seen = set(types.split("|")) - {""}
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            v = pdf["value"].dropna().to_numpy()
+            total_cents += int(np.rint(v * 100).astype("int64").sum())
             # dropna: a NULL event_type is countable but not a type —
             # and None poisons the sorted() in the state encoding.
             seen |= set(pdf["event_type"].dropna())
-        state.update((n, total, "|".join(sorted(seen))))
+        state.update((n, total_cents, "|".join(sorted(seen))))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 2)],
+                "total_value": [total_cents / 100.0],
                 "n_types": [len(seen)],
             }
         )
@@ -284,7 +295,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double, n_types long",
-        stateStructType="n long, total double, types string",
+        stateStructType="n long, total_cents long, types string",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -444,7 +455,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 2) AS total
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total
     FROM events
     GROUP BY event_type
     """,
@@ -487,7 +499,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            money.sum_money(F.col("value")).alias("total"),
         )
     )
 
@@ -498,7 +510,8 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
              AS n_purchases,
-           ROUND(SUM(value) FILTER (event_type = 'purchase'), 2)
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2)))
+                      FILTER (event_type = 'purchase'), 2) AS DOUBLE)
              AS purchase_value,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
@@ -522,7 +535,8 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     query runs the SAME per-user summary through
     applyInPandasWithState — identical semantics and state shape, so
     the oracle contract holds either way. The TWS path is the one
-    exercised wherever protobuf exists. PERMANENT WAIVER (r6): package
+    exercised wherever protobuf exists. PERMANENT WAIVER (r6;
+    re-probed 2026-08-15/r8 — protobuf still absent): package
     installation is out of scope in this build environment and
     protobuf is absent from the image, so the true TWS path cannot
     execute here by construction; the gate itself is unit-tested, the
@@ -531,6 +545,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     image carries protobuf."""
     import importlib.util
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -540,25 +555,27 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     class PurchaseStats(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(
-                "stats", "n_purchases long, purchase_value double, n_events long"
+                "stats", "n_purchases long, purchase_cents long, n_events long"
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            n_p, val, n_e = (
-                self._state.get() if self._state.exists() else (0, 0.0, 0)
+            # integer-cents state: see queries/money.py
+            n_p, cents, n_e = (
+                self._state.get() if self._state.exists() else (0, 0, 0)
             )
             for pdf in rows:
                 purchases = pdf[pdf["event_type"] == "purchase"]
                 n_p += len(purchases)
-                val += float(purchases["value"].sum())
+                v = purchases["value"].dropna().to_numpy()
+                cents += int(np.rint(v * 100).astype("int64").sum())
                 n_e += len(pdf)
-            self._state.update((n_p, val, n_e))
+            self._state.update((n_p, cents, n_e))
             if n_p > 0:
                 yield pd.DataFrame(
                     {
                         "user_id": [key[0]],
                         "n_purchases": [n_p],
-                        "purchase_value": [round(val, 2)],
+                        "purchase_value": [cents / 100.0],
                         "n_events": [n_e],
                     }
                 )
@@ -587,19 +604,21 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
         def update(key, pdfs, state: GroupState):
-            n_p, val, n_e = state.get if state.exists else (0, 0.0, 0)
+            # integer-cents state: see queries/money.py
+            n_p, cents, n_e = state.get if state.exists else (0, 0, 0)
             for pdf in pdfs:
                 purchases = pdf[pdf["event_type"] == "purchase"]
                 n_p += len(purchases)
-                val += float(purchases["value"].sum())
+                v = purchases["value"].dropna().to_numpy()
+                cents += int(np.rint(v * 100).astype("int64").sum())
                 n_e += len(pdf)
-            state.update((n_p, val, n_e))
+            state.update((n_p, cents, n_e))
             if n_p > 0:
                 yield pd.DataFrame(
                     {
                         "user_id": [key[0]],
                         "n_purchases": [n_p],
-                        "purchase_value": [round(val, 2)],
+                        "purchase_value": [cents / 100.0],
                         "n_events": [n_e],
                     }
                 )
@@ -607,7 +626,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = ev.groupBy("user_id").applyInPandasWithState(
             update,
             outputStructType=out_schema,
-            stateStructType="n_purchases long, purchase_value double, n_events long",
+            stateStructType="n_purchases long, purchase_cents long, n_events long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from muurschilderingendatabase_etl_spark.registry import query
+from muurschilderingendatabase_etl_spark.queries import money
 from muurschilderingendatabase_etl_spark.tables import t
 
 
@@ -30,7 +31,8 @@ from muurschilderingendatabase_etl_spark.tables import t
     oracle="""
     SELECT o_orderpriority,
       CAST(COUNT(*) AS BIGINT) AS n_orders,
-      ROUND(SUM(o_totalprice), 2) AS sum_price
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS sum_price
     FROM orders
     WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
     GROUP BY o_orderpriority
@@ -49,7 +51,7 @@ def subq_scalar_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            money.sum_money(F.col("o_totalprice")).alias("sum_price"),
         )
     )
 
@@ -58,7 +60,8 @@ def subq_scalar_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subq_scalar_correlated",
     oracle="""
     SELECT
-      ROUND(SUM(l_extendedprice), 2) AS small_qty_revenue,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS small_qty_revenue,
       CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l1
     WHERE l_quantity < 0.5 * (
@@ -82,7 +85,7 @@ def subq_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part_avg, "l_partkey")
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            money.sum_money(F.col("l_extendedprice")).alias("small_qty_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -130,7 +133,8 @@ def subq_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
       CAST(COUNT(*) AS BIGINT) AS n_customers,
-      ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+      CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS sum_acctbal
     FROM customer c
     WHERE c_acctbal > (
         SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
@@ -167,7 +171,7 @@ def subq_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            money.sum_money(F.col("c_acctbal")).alias("sum_acctbal"),
         )
     )
 

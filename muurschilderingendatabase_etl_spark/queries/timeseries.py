@@ -24,7 +24,8 @@ _BUCKET_S = 21600  # 6 hours
     WITH obs AS (
       SELECT user_id,
              CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS bucket,
-             ROUND(SUM(value), 2) AS v
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS v
       FROM events WHERE user_id < 20
       GROUP BY 1, 2
     ),
@@ -51,7 +52,8 @@ _BUCKET_S = 21600  # 6 hours
       CAST(COUNT(*) AS BIGINT) AS n_buckets,
       CAST(COUNT(v) AS BIGINT) AS n_observed,
       CAST(COUNT(v_filled) AS BIGINT) AS n_filled,
-      ROUND(SUM(v_filled), 2) AS filled_sum
+      CAST(ROUND(SUM(CAST(v_filled AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS filled_sum
     FROM filled
     GROUP BY user_id
     """,
@@ -75,10 +77,13 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the observation aggregation shuffles on (user, bucket);
     the dense grid is generated per user with explode(sequence(...)) —
     rows are born distributed, there is no driver-side loop; the
-    forward-fill is one window partitioned by user. Grid density is
+    forward-fill is one window partitioned by user; both money sums
+    ride the exact integer-cents path (queries/money.py). Grid density is
     (span/step) × users — at 100 TB you'd bound the span per partition
     (e.g. day files) so the generated grid stays proportional to the
     data it fills."""
+    from muurschilderingendatabase_etl_spark.queries import money
+
     obs = (
         t(spark, sf_dir, "events")
         .where(F.col("user_id") < 20)
@@ -88,7 +93,7 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("bucket"),
         )
-        .agg(F.round(F.sum("value"), 2).alias("v"))
+        .agg(money.sum_money(F.col("value")).alias("v"))
     )
     bounds = obs.agg(
         F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
@@ -110,7 +115,7 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_buckets"),
         F.count("v").alias("n_observed"),
         F.count("v_filled").alias("n_filled"),
-        F.round(F.sum("v_filled"), 2).alias("filled_sum"),
+        money.sum_money(F.col("v_filled")).alias("filled_sum"),
     )
 
 
@@ -167,7 +172,8 @@ def scd2_from_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wk AS (
       SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
-             ROUND(SUM(o_totalprice), 2) AS revenue,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS revenue,
              CAST(COUNT(*) AS BIGINT) AS n_orders
       FROM orders GROUP BY 1
     )
@@ -180,9 +186,13 @@ def scd2_from_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 def trend_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week revenue trend: weekly rollup, then a lag window
     for the growth ratio. The ratio divides the ALREADY-2dp-ROUNDED
-    weekly revenues (identical doubles on both engines), so the 6dp
+    weekly revenues (identical doubles on both engines — exact via the
+    integer-cents path in queries/money.py, since a week of orders is
+    squarely in the ROUND(SUM(double)) cent-flip class), so the 6dp
     growth figure is deterministic. The global orderBy window runs
     over one row per week — thousands of rows at any fact scale."""
+    from muurschilderingendatabase_etl_spark.queries import money
+
     wk = (
         t(spark, sf_dir, "orders")
         .groupBy(
@@ -190,7 +200,7 @@ def trend_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week")
         )
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            money.sum_money(F.col("o_totalprice")).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

@@ -163,7 +163,8 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-             ROUND(SUM(value), 2) AS event_value
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS event_value
       FROM events GROUP BY user_id
     ),
     o AS (
@@ -182,6 +183,7 @@ def udf_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     two pandas frames arrive in one Python call — the arbitrary two-sided
     per-key merge (full-outer semantics included) that a plain join can't
     express when the merge logic is imperative."""
+    import numpy as np
     import pandas as pd
 
     ev = t(spark, sf_dir, "events").select("user_id", "value")
@@ -196,7 +198,18 @@ def udf_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": [key[0]],
                 "n_events": [len(left)],
-                "event_value": [round(float(left["value"].sum()), 2) if len(left) else 0.0],
+                # exact integer-cents sum (queries/money.py class): a
+                # float64 .sum() drifts on large per-user groups
+                "event_value": [
+                    float(
+                        np.rint(left["value"].to_numpy() * 100)
+                        .astype("int64")
+                        .sum()
+                    )
+                    / 100.0
+                    if len(left)
+                    else 0.0
+                ],
                 "n_orders": [len(right)],
             }
         )

@@ -101,23 +101,32 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_spend
+           ), 2) AS DOUBLE) AS running_spend
     FROM orders
     """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The running sum accumulates integer cents (queries/money.py): a
+    # double accumulator would round each prefix independently, and any
+    # prefix landing near a cent boundary flips — the same class as the
+    # grouped money sums, amplified by emitting EVERY prefix.
+    from muurschilderingendatabase_etl_spark.queries import money
+
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    running_cents = F.sum(
+        money.cents(F.col("o_totalprice")).cast("decimal(20,0)")
+    ).over(w)
     return t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.round(running_cents / 100, 2).cast("double").alias("running_spend"),
     )
 
 

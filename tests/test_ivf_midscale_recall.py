@@ -34,7 +34,7 @@ import pytest
 
 from muurschilderingendatabase_etl_spark.queries.similarity import (
     _ivf_nprobe,
-    similarity_ivf_ann,
+    _ivf_topk,
     similarity_topk_bruteforce,
 )
 
@@ -89,7 +89,7 @@ def _topk_sets(df):
 
 def test_ivf_midscale_recall(spark, midscale_dir):
     exact = _topk_sets(similarity_topk_bruteforce(spark, midscale_dir))
-    approx = _topk_sets(similarity_ivf_ann(spark, midscale_dir))
+    approx = _topk_sets(_ivf_topk(spark, midscale_dir))
     assert set(exact) == set(approx)
     hits = sum(len(exact[q] & approx[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)

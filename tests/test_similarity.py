@@ -5,7 +5,7 @@ return k rows."""
 from __future__ import annotations
 
 from muurschilderingendatabase_etl_spark.queries.similarity import (
-    similarity_ivf_ann,
+    _ivf_topk,
     similarity_topk_bruteforce,
 )
 from tests.conftest import SF_DIR
@@ -20,7 +20,7 @@ def _topk_sets(df):
 
 def test_ivf_recall_vs_bruteforce(spark):
     exact = _topk_sets(similarity_topk_bruteforce(spark, SF_DIR))
-    approx = _topk_sets(similarity_ivf_ann(spark, SF_DIR))
+    approx = _topk_sets(_ivf_topk(spark, SF_DIR))
     assert set(exact) == set(approx)  # same query set, k rows each
     hits = sum(len(exact[q] & approx[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
@@ -33,11 +33,11 @@ def test_ivf_recall_vs_bruteforce(spark):
 
 def test_hyperplane_lsh_recall_vs_bruteforce(spark):
     from muurschilderingendatabase_etl_spark.queries.similarity import (
-        similarity_lsh_ann,
+        _lsh_ann,
     )
 
     exact = _topk_sets(similarity_topk_bruteforce(spark, SF_DIR))
-    approx = _topk_sets(similarity_lsh_ann(spark, SF_DIR))
+    approx = _topk_sets(_lsh_ann(spark, SF_DIR))
     assert set(exact) == set(approx)
     hits = sum(len(exact[q] & approx[q]) for q in exact)
     recall = hits / sum(len(exact[q]) for q in exact)
