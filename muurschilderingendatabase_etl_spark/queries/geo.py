@@ -97,6 +97,11 @@ def geo_distance_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             # sf10). Bit-identical to the inline form: same expression,
             # same double.
             F.cos(F.radians(lat)).alias("coslat"),
+            # the remaining three per-point trig terms feed the
+            # ZERO-TRIG prefilter below (spherical law of cosines)
+            F.sin(F.radians(lat)).alias("sinlat"),
+            F.cos(F.radians(lon)).alias("coslon"),
+            F.sin(F.radians(lon)).alias("sinlon"),
             F.floor(lat / CELL_DEG).alias("cell_lat"),
             F.floor(lon / CELL_DEG).alias("cell_lon"),
         )
@@ -107,6 +112,9 @@ def geo_distance_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lat").alias("c_lat"),
         F.col("lon").alias("c_lon"),
         F.col("coslat").alias("c_coslat"),
+        F.col("sinlat").alias("c_sinlat"),
+        F.col("coslon").alias("c_coslon"),
+        F.col("sinlon").alias("c_sinlon"),
         F.col("cell_lat").alias("c_cell_lat"),
         F.col("cell_lon").alias("c_cell_lon"),
     )
@@ -118,13 +126,17 @@ def geo_distance_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         " transform(sequence(-2, 2), dlo -> struct(dla, dlo)))))"
     )
     probes = supp.select(
-        "s_suppkey", "lat", "lon", "coslat", "cell_lat", "cell_lon",
+        "s_suppkey", "lat", "lon", "coslat", "sinlat", "coslon", "sinlon",
+        "cell_lat", "cell_lon",
         offsets.alias("off"),
     ).select(
         "s_suppkey",
         "lat",
         "lon",
         "coslat",
+        "sinlat",
+        "coslon",
+        "sinlon",
         (F.col("cell_lat") + F.col("off.dla")).alias("p_cell_lat"),
         # Longitude wraps at the antimeridian: cells -36..35 form a
         # ring (haversine sees lon -179.9 and +179.9 as 0.2 deg apart),
@@ -147,6 +159,28 @@ def geo_distance_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs (cell blocking alone admits |dlat| up to 10 deg) for the
     # price of one subtract+compare each.
     lat_band = F.abs(F.col("c_lat") - F.col("lat")) <= F.lit(4.51)
+    # ZERO-TRIG prefilter (r8, the verdict's geo-tail item): the banded
+    # candidates still outnumber true answers ~3.5:1, and each used to
+    # pay the full 2·sin + 2·pow + sqrt + asin haversine. The spherical
+    # law of cosines — cosθ = sinφ1·sinφ2 + cosφ1·cosφ2·cos(Δλ), with
+    # cos(Δλ) expanded so ALL trig is per-point and precomputed — costs
+    # 5 multiplies per pair. dist ≤ 500 ⟺ cosθ ≥ cos(500/R); the
+    # threshold carries 0.1 km of slack (1.2e-6 in cos space, ~9 orders
+    # above double error, vs the law-of-cosines' ~1e-12 worst error at
+    # this θ), so the prefilter passes a SUPERSET of the answers and
+    # the unchanged bit-identical haversine still decides — lossless by
+    # construction, no dependence on trig ulps. A/B at sf10 below.
+    import math
+
+    cos_thresh = math.cos((RADIUS_KM + 0.1) / EARTH_KM)
+    cos_dlon = (
+        F.col("coslon") * F.col("c_coslon")
+        + F.col("sinlon") * F.col("c_sinlon")
+    )
+    prefilter = (
+        F.col("sinlat") * F.col("c_sinlat")
+        + F.col("coslat") * F.col("c_coslat") * cos_dlon
+    ) >= F.lit(cos_thresh)
     return (
         probes.join(
             cust,
@@ -154,6 +188,7 @@ def geo_distance_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p_cell_lon") == F.col("c_cell_lon"))
             & lat_band,
         )
+        .where(prefilter)
         .where(dist <= RADIUS_KM)
         .groupBy("s_suppkey")
         .agg(

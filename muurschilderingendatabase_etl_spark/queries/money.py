@@ -48,6 +48,20 @@ def sum_money(money: Column) -> Column:
     )
 
 
+def sum_money_bounded(money: Column) -> Column:
+    """Exact SUM of a 2-dp money column for BOUNDED groups: the cents
+    accumulate in LONG, so the aggregation state is 8 bytes instead of
+    a boxed decimal. Use where the per-group cent total is structurally
+    far below 2^63 — per-session / per-(user, window) streaming groups,
+    where the decimal state was measured to matter: the r8 sf10 probe
+    OOMed an 8 GB heap on stream_session_window's 9.5M decimal session
+    states where the long form fits like the r7 double did. Same
+    emitted double as sum_money: the long sum is exact, /100 is the
+    nearest double of the exact rational, and ROUND(x, 2) of that is
+    bit-equal to the oracle's CAST(exact DECIMAL AS DOUBLE)."""
+    return F.round(F.sum(cents(money)) / 100, 2).cast("double")
+
+
 def sum_disc_price(price: Column, discount: Column) -> Column:
     """Exact SUM(price * (1 - discount)) for 2-dp inputs."""
     e4 = cents(price) * pct_factor(-discount, 100)
