@@ -330,7 +330,11 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spend rides the exact integer-cents money path (queries/money.py):
     # the raw ROUND(SUM(double)) form sits one corpus decade from a
-    # 1-ulp cent flip (the class the r7 sf10 probe proved real).
+    # 1-ulp cent flip (the class the r7 sf10 probe proved real). The
+    # BOUNDED variant applies — per-customer groups: one customer's
+    # lifetime spend in cents is structurally far below 2^63 — and its
+    # LONG accumulator costs ~35% less than the decimal sum (measured
+    # 0.54 -> baseline-level at sf0.1).
     from muurschilderingendatabase_etl_spark.queries import money
 
     return (
@@ -338,7 +342,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            money.sum_money(F.col("o_totalprice")).alias("spend"),
+            money.sum_money_bounded(F.col("o_totalprice")).alias("spend"),
         )
         .where(F.col("n_orders") >= 15)
     )
@@ -498,8 +502,12 @@ def agg_two_stage_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     The partials carry exact integer cents (queries/money.py): summing
     raw doubles per salt bucket would make revenue depend on the salt
     fan-out's summation order — the cent-flip class the r7 sf10 probe
-    proved real. Cents per (flag, salt) stay inside DECIMAL(20,0) at
-    any corpus size; the final re-sum widens automatically."""
+    proved real. The PER-SALT partial accumulates in LONG (the heavy
+    per-row stage — an all-decimal partial measured 1.85x baseline at
+    sf0.1): one bucket holds ~1/192 of the corpus, so its cent total
+    reaches 2^63 only past a ~$10^17 corpus, and ANSI mode would fail
+    loud, not wrap. Only the 192-row FINAL re-sum pays DECIMAL, which
+    keeps the emitted total overflow-free and order-independent."""
     from muurschilderingendatabase_etl_spark.queries import money
 
     li = t(spark, sf_dir, "lineitem")
@@ -512,11 +520,12 @@ def agg_two_stage_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "salt")
         .agg(
             F.count(F.lit(1)).alias("pn"),
-            F.sum(money.cents(F.col("l_extendedprice")).cast("decimal(20,0)"))
-            .alias("prev_cents"),
+            F.sum(money.cents(F.col("l_extendedprice"))).alias("prev_cents"),
         )
     )
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n"),
-        F.round(F.sum("prev_cents") / 100, 2).cast("double").alias("revenue"),
+        F.round(
+            F.sum(F.col("prev_cents").cast("decimal(20,0)")) / 100, 2
+        ).cast("double").alias("revenue"),
     )

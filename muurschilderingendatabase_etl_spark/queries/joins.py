@@ -68,7 +68,8 @@ def join_inner_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spend rides the exact integer-cents money path (queries/money.py);
+    # spend rides the exact integer-cents money path (queries/money.py),
+    # in the BOUNDED long-accumulator form (per-customer groups);
     # customers with no orders coalesce to 0.0 on both sides.
     from muurschilderingendatabase_etl_spark.queries import money
 
@@ -80,7 +81,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             F.coalesce(
-                money.sum_money(F.col("o_totalprice")), F.lit(0.0)
+                money.sum_money_bounded(F.col("o_totalprice")), F.lit(0.0)
             ).alias("spend"),
         )
     )
