@@ -420,32 +420,95 @@ SIMHASH_COMBOS = [(i, j) for i in range(5) for j in range(i + 1, 5)]
 SIMHASH_MAX_HAMMING = 3
 
 
-@query("dedup_simhash")  # rows-only: hash-dependent signatures
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs (hamming ≤ 3).
+# doc_id bound for the in-band brute-force slice check: 1500 docs =
+# ~1.1M slice pairs of xor+bit_count — constant work at any corpus size.
+_SIMHASH_SLICE_N = 1500
 
-    Token hashes fold into a 64-dim sign vector with aggregate (no
-    explode — one row per doc throughout). Candidates via the
-    MULTI-CHUNK pigeonhole (the multi-index scheme of HmSearch-style
-    Hamming joins): hamming ≤ 3 over 5 chunks (13/13/13/13/12 bits)
-    leaves at least 2 chunks untouched, so some PAIR of chunks — one of
-    C(5,2)=10 combos — matches exactly on both sides. The join key is
-    (combo_id, chunk_i, chunk_j): ~26 key bits instead of the 16 bits a
-    single-chunk scheme gives, which cuts spurious candidates by ~2¹⁰
-    for 2.5× the signature replication — this is what the r3 sf1 probe
-    bought down from 71.6 s (4×16-bit single-chunk keys collapse when
-    simhashes cluster, as real corpora and the 31-word fixture vocab
-    both make them). Exact verify with xor + bit_count.
-    """
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id < {_SIMHASH_SLICE_N} THEN 1 ELSE 0 END)
+                AS BIGINT) AS slice_docs,
+           TRUE AS slice_lossless,
+           TRUE AS all_pairs_within_radius
+    FROM documents
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup mining, value-checked IN-BAND (the r6-HLL/r8-ANN
+    contract pattern): the simhashes are xxhash64-derived so no external
+    engine can recompute the pair set, but the LOSSLESSNESS of the
+    C(5,2) pigeonhole miner is checkable inside the query — a
+    brute-force all-pairs hamming scan over the doc_id < 1500 slice
+    must emit exactly the mined pairs restricted to that slice
+    (pairwise predicate ⇒ restriction commutes with mining), and every
+    mined pair must sit within the hamming radius. The driver
+    hash-compares the emitted booleans against the oracle's declared
+    TRUE. The pair miner itself is _simhash_pairs (tested wholesale in
+    tests/test_dedup.py); the slice check is constant work (~1.1M
+    xor+bit_count) at any corpus size.
+
+    sims is localCheckpoint'd: the 64-fold simhash computation is the
+    CPU hot spot and BOTH the miner and the slice check consume it —
+    the checkpoint (16 bytes/doc, eager, lineage-free so nothing stays
+    pinned) halves the fold work instead of recomputing per consumer."""
+    sims = _simhash_sims(spark, sf_dir).localCheckpoint()
+    pairs = _simhash_pairs_from(sims)
+    sl = sims.where(F.col("doc_id") < _SIMHASH_SLICE_N)
+    a, b = sl.alias("a"), sl.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+    )
+    mined_slice = pairs.where(
+        (F.col("doc_a") < _SIMHASH_SLICE_N) & (F.col("doc_b") < _SIMHASH_SLICE_N)
+    ).select("doc_a", "doc_b", "hamming")
+    # Set equality via three counts (both sides are key-distinct by
+    # construction): |brute| == |mined∩slice| == |inner join|. exceptAll
+    # was the first spelling, but its replicate-and-sum rewrite trips an
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND bind bug when both inputs share
+    # the self-joined sims lineage (Spark 4.1.2).
+    nb = brute.agg(F.count(F.lit(1)).alias("nb"))
+    nm = mined_slice.agg(F.count(F.lit(1)).alias("nm"))
+    ni = brute.join(mined_slice, ["doc_a", "doc_b", "hamming"]).agg(
+        F.count(F.lit(1)).alias("ni")
+    )
+    radius_ok = pairs.agg(
+        F.coalesce(F.max("hamming") <= 3, F.lit(True)).alias("radius_ok")
+    )
+    counts = t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("doc_id") < _SIMHASH_SLICE_N, 1).otherwise(0)
+        ).alias("slice_docs"),
+    )
+    # 1-row aggregates compose via broadcast NLJ — the scalar-subquery
+    # shape (tests/test_plans.py::test_scalar_subquery_broadcasts).
+    return counts.crossJoin(nb).crossJoin(nm).crossJoin(ni).crossJoin(
+        radius_ok
+    ).select(
+        "n_docs",
+        "slice_docs",
+        (
+            (F.col("nb") == F.col("nm")) & (F.col("ni") == F.col("nb"))
+        ).alias("slice_lossless"),
+        F.col("radius_ok").alias("all_pairs_within_radius"),
+    )
+
+
+def _simhash_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) for every document — see dedup_simhash."""
     from functools import reduce
 
-    # Repartition AFTER projecting the hash array: 64 aggregate() folds
-    # per row is the CPU hot spot (and the single-file fixture scan
-    # gives only one input split) — and the Exchange doubles as a
-    # projection-collapse barrier, without which Catalyst inlines the
-    # split+distinct+hash pipeline into EVERY one of the 64 folds
-    # (measured 2.1 s → 0.4 s for the fold phase at sf1; same pathology
-    # as textutil's module docstring).
     docs = (
         t(spark, sf_dir, "documents")
         .select(
@@ -456,8 +519,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    # counts[i] = sum over token hashes of ±1 for bit i; bit positions are
-    # unrolled statically because shiftright takes a literal shift.
+
     def bit_count_col(i: int):
         return F.aggregate(
             "hashes",
@@ -474,7 +536,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(64)
         ],
     )
-    sims = docs.select("doc_id", simhash.alias("simhash"))
+    return docs.select("doc_id", simhash.alias("simhash"))
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (hamming ≤ 3).
+
+    Token hashes fold into a 64-dim sign vector with aggregate (no
+    explode — one row per doc throughout). Candidates via the
+    MULTI-CHUNK pigeonhole (the multi-index scheme of HmSearch-style
+    Hamming joins): hamming ≤ 3 over 5 chunks (13/13/13/13/12 bits)
+    leaves at least 2 chunks untouched, so some PAIR of chunks — one of
+    C(5,2)=10 combos — matches exactly on both sides. The join key is
+    (combo_id, chunk_i, chunk_j): ~26 key bits instead of the 16 bits a
+    single-chunk scheme gives, which cuts spurious candidates by ~2¹⁰
+    for 2.5× the signature replication — this is what the r3 sf1 probe
+    bought down from 71.6 s (4×16-bit single-chunk keys collapse when
+    simhashes cluster, as real corpora and the 31-word fixture vocab
+    both make them). Exact verify with xor + bit_count.
+
+    The repartition inside _simhash_sims runs AFTER projecting the hash
+    array: 64 aggregate() folds per row is the CPU hot spot (and the
+    single-file fixture scan gives only one input split) — and the
+    Exchange doubles as a projection-collapse barrier, without which
+    Catalyst inlines the split+distinct+hash pipeline into EVERY one of
+    the 64 folds (measured 2.1 s → 0.4 s for the fold phase at sf1;
+    same pathology as textutil's module docstring). Bit positions are
+    unrolled statically because shiftright takes a literal shift.
+    """
+    return _simhash_pairs_from(_simhash_sims(spark, sf_dir))
+
+
+def _simhash_pairs_from(sims: DataFrame) -> DataFrame:
     cuts = SIMHASH_CUTS
 
     def chunk(c: int):

@@ -215,10 +215,57 @@ def project_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_seeded")  # rows-only: sampling RNG is engine-specific
+@query(
+    "sample_seeded",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_source,
+           TRUE AS deterministic,
+           TRUE AS fraction_in_band
+    FROM orders
+    """,
+)
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sample with a fixed seed — deterministic within Spark
-    (reproducible pipelines) but not across engines, hence rows-only."""
+    """Bernoulli sample with a fixed seed, value-checked IN-BAND (the
+    r6-HLL/r8-ANN pattern — the RNG stream is engine-specific, so no
+    external oracle can name the sampled rows, but the sample's
+    CONTRACT is checkable inside the query):
+    - deterministic: a second sample with the same seed selects the
+      identical row set (count equality + key-join coverage; o_orderkey
+      is unique in orders) — the property reproducible pipelines build
+      on, now externally gated instead of only unit-tested.
+    - fraction_in_band: the realized fraction sits within 4.5 sigma of
+      the requested 0.1 (sigma = sqrt(0.1*0.9/N); one fixed draw lies
+      outside ~3e-6 of the time, and the band self-widens on tiny
+      fixtures). Vacuously TRUE on an empty source.
+    The sampled rows themselves remain reachable via _seeded_sample for
+    pipeline use and tests."""
+    orders = t(spark, sf_dir, "orders")
+    s1 = _seeded_sample(spark, sf_dir)
+    s2 = orders.sample(fraction=0.1, seed=42).select("o_orderkey")
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    ni = s1.join(s2, "o_orderkey").agg(F.count(F.lit(1)).alias("ni"))
+    ns = orders.agg(F.count(F.lit(1)).alias("n_source"))
+    band = 4.5 * F.sqrt(F.lit(0.09) / F.col("n_source"))
+    return (
+        ns.crossJoin(n1).crossJoin(n2).crossJoin(ni)
+        .select(
+            "n_source",
+            (
+                (F.col("n1") == F.col("n2")) & (F.col("ni") == F.col("n1"))
+            ).alias("deterministic"),
+            F.when(F.col("n_source") == 0, F.lit(True))
+            .otherwise(
+                F.abs(F.col("n1") / F.col("n_source") - 0.1) <= band
+            )
+            .alias("fraction_in_band"),
+        )
+    )
+
+
+def _seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sample itself — deterministic within Spark for a fixed seed
+    and input layout (reproducible pipelines)."""
     return (
         t(spark, sf_dir, "orders")
         .sample(fraction=0.1, seed=42)

@@ -8,7 +8,7 @@ the text — no shuffle until the final aggregation, no Python UDFs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from muurschilderingendatabase_etl_spark.registry import query
 from muurschilderingendatabase_etl_spark.tables import t
@@ -160,12 +160,35 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_fingerprint")  # rows-only: xxhash64-based winnowing
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, TRUE AS n_in_range, TRUE AS forms_agree
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 6
+    """,
+)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed rolling-hash fingerprints: hash 3-gram shingles, take
     the minimum hash per sliding window of 4 shingles, keep the
     distinct minima. Standard MOSS-style fingerprinting; fingerprints
-    overlap ⇒ likely shared passages."""
+    overlap ⇒ likely shared passages.
+
+    Value-checked IN-BAND (the r6-HLL/r8-ANN pattern — xxhash64
+    fingerprints are engine-specific, so no external oracle can
+    recompute them, but their invariants can be checked inside the
+    query): per qualifying document the driver hash-compares two
+    booleans the oracle declares TRUE —
+    - n_in_range: 1 <= |fingerprints| <= n_words - 5 (a text with W
+      words has W-2 shingles and W-5 windows; distinct minima can't
+      exceed the window count or be empty).
+    - forms_agree: a SECOND, independently-formulated computation —
+      posexplode + lead() 3-grams + a min() over a 4-row window frame +
+      collect_set, i.e. row-relational, sharing no array-kernel code
+      with the zip_with/slice form in textutil — produces the identical
+      fingerprint set. Two disjoint implementations agreeing is the
+      strongest check available for a hash-defined artifact.
+    """
     # slice+zip_with n-gram/window builders — the transform(sequence…)
     # forms pay Catalyst's projection-collapse O(n²) tax even when the
     # array is projected as its own column first (textutil docstring).
@@ -177,16 +200,59 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.col("w")
     shingle_hashes = F.transform(word_ngrams(w, 3), lambda s: F.xxhash64(s))
     windows = sliding_min("sh", 4)
-    return (
+    zip_form = (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size(w) >= 6)
-        .select("doc_id", shingle_hashes.alias("sh"))
-        .select("doc_id", F.array_distinct(windows).alias("fingerprints"))
+        .select("doc_id", F.size(w).alias("n_words"), shingle_hashes.alias("sh"))
         .select(
             "doc_id",
-            F.size("fingerprints").alias("n_fingerprints"),
-            F.array_min("fingerprints").alias("min_fp"),
+            "n_words",
+            F.array_sort(F.array_distinct(windows)).alias("fps"),
+        )
+    )
+
+    # Independent explode/window formulation of the same definition.
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    shingle = F.concat_ws(
+        " ", "tok", F.lead("tok", 1).over(wd), F.lead("tok", 2).over(wd)
+    )
+    sh = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.lead("tok", 2).over(wd).isNotNull(), F.xxhash64(shingle)
+            ).alias("shash"),
+        )
+        .where(F.col("shash").isNotNull())
+    )
+    wmin = (
+        sh.select(
+            "doc_id",
+            "pos",
+            F.min("shash").over(wd.rowsBetween(0, 3)).alias("wmin"),
+            F.max("pos").over(Window.partitionBy("doc_id")).alias("max_pos"),
+        )
+        .where(F.col("pos") <= F.col("max_pos") - 3)
+    )
+    explode_form = wmin.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("wmin")).alias("fps2")
+    )
+
+    return (
+        zip_form.join(explode_form, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                (F.size("fps") >= 1)
+                & (F.size("fps") <= F.col("n_words") - 5)
+            ).alias("n_in_range"),
+            (F.col("fps") == F.col("fps2")).alias("forms_agree"),
         )
         .orderBy("doc_id")
     )

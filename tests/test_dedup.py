@@ -34,7 +34,7 @@ def test_simhash_multi_chunk_pigeonhole_lossless(spark):
 
     import pyspark.sql.functions as F
 
-    from muurschilderingendatabase_etl_spark.queries.dedup import dedup_simhash
+    from muurschilderingendatabase_etl_spark.queries.dedup import _simhash_pairs
     from muurschilderingendatabase_etl_spark.tables import t
 
     sf = "/root/testdata/sf0.001"
@@ -74,7 +74,7 @@ def test_simhash_multi_chunk_pigeonhole_lossless(spark):
     )
     expected = {(r.doc_a, r.doc_b, r.hamming) for r in brute.collect()}
     got = {
-        (r.doc_a, r.doc_b, r.hamming) for r in dedup_simhash(spark, sf).collect()
+        (r.doc_a, r.doc_b, r.hamming) for r in _simhash_pairs(spark, sf).collect()
     }
     assert got == expected
 

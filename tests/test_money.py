@@ -66,3 +66,24 @@ def test_money_sums_null_and_empty(spark):
         money.sum_money(F.col("price")).alias("b")
     ).collect()[0]
     assert empty["b"] is None
+
+
+def test_sum_money_bounded_matches_decimal_form(spark):
+    # The LONG-accumulator variant (bounded groups: per-customer /
+    # per-session) must emit the identical double as the decimal form
+    # on the same drift-hostile terms — excluding the 2^53-edge row,
+    # which is out of the BOUNDED contract by definition.
+    rows = [r for r in ROWS if r[0] < 1e10]
+    df = spark.createDataFrame(rows, ["price", "disc", "tax"])
+    got = df.agg(
+        money.sum_money(F.col("price")).alias("dec"),
+        money.sum_money_bounded(F.col("price")).alias("lng"),
+    ).collect()[0]
+    fr = lambda x: Fraction(Decimal(f"{x:.2f}"))  # noqa: E731
+    exact = _exact_round2(sum(fr(p) for p, _, _ in rows))
+    assert got["dec"] == got["lng"] == exact
+    # NULL/empty behave like the decimal form
+    empty = df.where(F.lit(False)).agg(
+        money.sum_money_bounded(F.col("price")).alias("b")
+    ).collect()[0]
+    assert empty["b"] is None
