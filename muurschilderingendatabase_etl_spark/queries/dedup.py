@@ -431,8 +431,7 @@ _SIMHASH_SLICE_N = 1500
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN doc_id < {_SIMHASH_SLICE_N} THEN 1 ELSE 0 END)
                 AS BIGINT) AS slice_docs,
-           TRUE AS slice_lossless,
-           TRUE AS all_pairs_within_radius
+           TRUE AS slice_lossless
     FROM documents
     """,
 )
@@ -443,12 +442,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(5,2) pigeonhole miner is checkable inside the query — a
     brute-force all-pairs hamming scan over the doc_id < 1500 slice
     must emit exactly the mined pairs restricted to that slice
-    (pairwise predicate ⇒ restriction commutes with mining), and every
-    mined pair must sit within the hamming radius. The driver
-    hash-compares the emitted booleans against the oracle's declared
-    TRUE. The pair miner itself is _simhash_pairs (tested wholesale in
-    tests/test_dedup.py); the slice check is constant work (~1.1M
-    xor+bit_count) at any corpus size.
+    (pairwise predicate ⇒ restriction commutes with mining). The driver
+    hash-compares the emitted boolean against the oracle's declared
+    TRUE. The hamming-radius bound itself is enforced by construction
+    (the miner's final filter), so a max(hamming)<=3 column over the
+    miner's output would be tautological (r8 ADVICE); the radius IS
+    value-checked on the slice regardless, because slice_lossless's
+    intersection join keys on (doc_a, doc_b, hamming) — the brute side's
+    independently computed hamming must equal the miner's for every
+    slice pair. The pair miner itself is _simhash_pairs (tested
+    wholesale in tests/test_dedup.py); the slice check is constant work
+    (~1.1M xor+bit_count) at any corpus size.
 
     sims is localCheckpoint'd: the 64-fold simhash computation is the
     CPU hot spot and BOTH the miner and the slice check consume it —
@@ -482,9 +486,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ni = brute.join(mined_slice, ["doc_a", "doc_b", "hamming"]).agg(
         F.count(F.lit(1)).alias("ni")
     )
-    radius_ok = pairs.agg(
-        F.coalesce(F.max("hamming") <= 3, F.lit(True)).alias("radius_ok")
-    )
     counts = t(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
@@ -493,15 +494,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 1-row aggregates compose via broadcast NLJ — the scalar-subquery
     # shape (tests/test_plans.py::test_scalar_subquery_broadcasts).
-    return counts.crossJoin(nb).crossJoin(nm).crossJoin(ni).crossJoin(
-        radius_ok
-    ).select(
+    return counts.crossJoin(nb).crossJoin(nm).crossJoin(ni).select(
         "n_docs",
         "slice_docs",
         (
             (F.col("nb") == F.col("nm")) & (F.col("ni") == F.col("nb"))
         ).alias("slice_lossless"),
-        F.col("radius_ok").alias("all_pairs_within_radius"),
     )
 
 

@@ -213,8 +213,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Independent explode/window formulation of the same definition.
+    # Pre-filter to the qualifying docs (>= 6 words) BEFORE exploding:
+    # shorter docs would only be discarded later by the pos <= max_pos-3
+    # filter / left join, after paying posexplode + two lead() windows +
+    # xxhash64 + the 4-row min window for nothing (r8 ADVICE).
     tok = (
         t(spark, sf_dir, "documents")
+        .where(F.size(F.split("text", " ")) >= 6)
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")

@@ -199,10 +199,13 @@ def udf_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id": [key[0]],
                 "n_events": [len(left)],
                 # exact integer-cents sum (queries/money.py class): a
-                # float64 .sum() drifts on large per-user groups
+                # float64 .sum() drifts on large per-user groups. NaN must
+                # be dropped BEFORE np.rint — np.rint(NaN).astype('int64')
+                # is undefined (INT64_MIN on most platforms), and the
+                # oracle's SUM skips NULLs.
                 "event_value": [
                     float(
-                        np.rint(left["value"].to_numpy() * 100)
+                        np.rint(left["value"].dropna().to_numpy() * 100)
                         .astype("int64")
                         .sum()
                     )

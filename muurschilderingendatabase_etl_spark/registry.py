@@ -47,6 +47,37 @@ def load_all() -> None:
     from muurschilderingendatabase_etl_spark import queries as _  # noqa: F401
 
 
+# Queries whose IMPLEMENTATION materially changed in round N (hand-curated
+# at round close — the cheapest honest signal; a git-derived per-module
+# variant would requeue a whole module on any edit). If N is later than the
+# round of a query's latest external pass, that pass verified the OLD code:
+# the query is demoted from the verified tier to the rewritten tier so it
+# leads the next driver window instead of waiting out the full
+# least-recently-verified rotation (r8 VERDICT item 1 — five r7-vintage
+# records on r8-rewritten code would otherwise sit behind 87 older names
+# until ~r10).
+_REWRITTEN_IN_ROUND: dict[str, int] = {
+    # r8 rewrites (money exact-cents migration, bounded-group LONG state,
+    # geo prefilter, WoW rewrite) — latest external records r5–r7.
+    "trend_week_over_week": 8,
+    "window_running_sum": 8,
+    "stream_session_window": 8,
+    "agg_two_stage_salted": 8,
+    "sink_merge_upsert": 8,
+    "stream_stateful_user_stats": 8,
+    "agg_having": 8,
+    "subq_scalar_correlated": 8,
+    "stream_sliding_window": 8,
+    "geo_distance_join_grid": 8,
+    "agg_min_by_max_by": 8,
+    # r9 rewrites (ADVICE fixes): simhash contract column dropped (schema
+    # change), fingerprint verification-form pre-filter, cogroup NaN guard.
+    "dedup_simhash": 9,
+    "text_fingerprint": 9,
+    "udf_cogroup_apply_in_pandas": 9,
+}
+
+
 def _last_verified_round() -> dict[str, tuple[int, int]]:
     """Per-query round of the most recent SUCCESSFUL external verification,
     parsed from the committed ``CORRECTNESS_r*.json`` driver artifacts.
@@ -104,13 +135,23 @@ def _last_verified_round() -> dict[str, tuple[int, int]]:
             #       check and has never been externally run: first in
             #       line AFTER the never-verified set (it has at least a
             #       rows-level external pass, a true zero has nothing);
-            #   2 — externally verified at its current contract level.
+            #   2 — (assigned below) implementation rewritten AFTER the
+            #       latest external pass: that pass verified old code;
+            #   3 — externally verified at its current contract level
+            #       and implementation.
             if not (hash_ok or rows_only_ran):
                 last[name] = (0, 0)
             elif rows_only_ran and name in _ORACLES:
                 last[name] = (1, rnd)
             else:
-                last[name] = (2, rnd)
+                last[name] = (3, rnd)
+    # Demote verified records that predate a rewrite of the query's
+    # implementation (see _REWRITTEN_IN_ROUND). Once the driver re-checks
+    # the rewritten code, the new record's round >= the rewrite round and
+    # the query returns to the verified tier automatically.
+    for name, (tier, rnd) in list(last.items()):
+        if tier == 3 and _REWRITTEN_IN_ROUND.get(name, 0) > rnd:
+            last[name] = (2, rnd)
     return last
 
 

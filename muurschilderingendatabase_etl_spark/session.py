@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp behavior vs the oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # Pin ANSI mode explicitly (Spark 4 default, but the bounded-group
+        # LONG-cents money path — queries/money.py sum_money_bounded and the
+        # per-salt partials in agg_two_stage_salted — relies on overflow
+        # failing LOUD, not wrapping. An env/extra_conf override disabling
+        # ANSI would silently corrupt money sums; pinning makes the
+        # guarantee ours rather than inherited from a default.
+        .config("spark.sql.ansi.enabled", "true")
         # Parquet TIMESTAMP(NANOS) (the events table) is otherwise an
         # illegal type for Spark's vectorized reader; read as int64 nanos
         # and convert in the loader (tables.t).
