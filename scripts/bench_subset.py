@@ -9,13 +9,24 @@ sink (full execution, no collect), one flagship warm-up to amortize
 JVM/codegen startup, per-query wall seconds rounded to 2 dp.
 
 Usage:
-    python scripts/bench_subset.py SF_DIR OUT.json name1 name2 ...
+    python scripts/bench_subset.py [--per-process] SF_DIR OUT.json name1 name2 ...
+
+``--per-process`` re-execs this script once per query and merges the
+per-query JSONs. This is the MECHANICAL form of the sf10 operational
+policy (SCALE.md r8 footnote): one multi-query batch hung with the
+Python main thread blocked on a py4j socket read while the JVM gateway
+sat in accept() — both sides idle, hours lost. A fresh JVM per query
+can't inherit a wedged gateway, and each query's timing carries its own
+flagship warm-up (subset-vs-subset ratios stay honest). Costs one JVM
+startup + warm-up per query, so reserve it for big-SF sweeps where a
+hang costs more than the startups.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -25,7 +36,31 @@ from muurschilderingendatabase_etl_spark import registry
 from muurschilderingendatabase_etl_spark.session import get_spark
 
 
+def _per_process(sf_dir: str, out: str, names: list[str]) -> None:
+    """One subprocess (fresh JVM) per query; merge results into ``out``."""
+    timings: dict[str, float] = {}
+    for name in names:
+        part = f"{out}.{name}.part"
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__), sf_dir, part, name]
+        )
+        if rc == 0 and os.path.exists(part):
+            with open(part) as fh:
+                timings.update(json.load(fh))
+            os.remove(part)
+        else:  # crash/hang-timeout of one query must not lose the sweep
+            print(f"ERROR {name}: subprocess rc={rc}", file=sys.stderr)
+            timings[name] = -1.0
+        with open(out, "w") as fh:  # checkpoint after every query
+            json.dump(timings, fh, indent=1, sort_keys=True)
+    print(json.dumps({"out": out, "n": len(timings), "sf_dir": sf_dir}))
+
+
 def main() -> None:
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--per-process":
+        _per_process(argv[1], argv[2], argv[3:])
+        return
     sf_dir, out = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
     spark = get_spark(app_name="bench_subset")
