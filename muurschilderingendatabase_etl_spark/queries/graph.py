@@ -7,8 +7,12 @@ spaces don't collide). Undirected means every node has out-degree >= 1,
 so there is no dangling-mass correction to carry.
 
 Spark shape (the one that scales): edges and degrees are computed once
-and cached; each of the 8 iterations is one join (edge src -> current
-rank) + one partial-aggregating groupBy(dst). Lineage is cut with a
+and cached — the edge cache carries BARE (src, dst) pairs and degrees
+live in a separate node-cardinality table that pre-scales the rank
+vector each iteration, so the 8-iteration-reused big table holds no
+derivable payload. Each of the 8 iterations is then one
+node-cardinality join (rank x deg), one join (edge src -> scaled rank)
++ one partial-aggregating groupBy(dst). Lineage is cut with a
 localCheckpoint mid-loop so the plan doesn't grow superlinearly — the
 same discipline as dedup_connected_components (dedup.py). At 100 TB
 the edge table is hash-partitioned on src once and every iteration
@@ -25,6 +29,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 from muurschilderingendatabase_etl_spark.registry import query
 from muurschilderingendatabase_etl_spark.tables import t
@@ -99,58 +104,111 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.selectExpr("s AS src", "p AS dst").union(
         pairs.selectExpr("p AS src", "s AS dst")
     )
+    # deg is NODE-cardinality and lives in its own small cached table;
+    # the edge table stays a bare (src, dst) pair. Carrying deg on every
+    # edge row (the pre-r9 shape) inflated the 8-iteration-reused edge
+    # cache by 50% (24 B/row vs 16 B/row of payload) — at sf100 (1.18B
+    # edge rows) that was the difference between the cache thrashing and
+    # fitting, and the sf100 probe read 16.8x for 10x data. Ranks are
+    # pre-scaled by 1/deg through a node-cardinality join each iteration
+    # instead (see the loop); same addends, node-sized work.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = edges.join(deg, "src")
-    # Node count is a driver scalar (one small action, same pattern as
-    # the convergence probes in dedup_connected_components): folding it
-    # in as a literal keeps the per-iteration plan free of a second
-    # broadcast whose lineage would drag the whole edge pipeline along.
-    # It also selects the join strategy for the whole loop.
-    n_nodes = float(ed.select("src").distinct().count())
+    # Node and edge counts are driver scalars from ONE small action over
+    # the node-cardinality deg table (same pattern as the convergence
+    # probes in dedup_connected_components): folding n_nodes in as a
+    # literal keeps the per-iteration plan free of a second broadcast
+    # whose lineage would drag the whole edge pipeline along, and
+    # n_edges sizes the edge partitioning by BYTES below. deg has one
+    # row per node (undirected graph: every node has out-degree >= 1).
+    counts = deg.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("deg").alias("m")
+    ).collect()[0]
+    n_nodes = float(counts["n"])
+    n_edges = int(counts["m"] or 0)
     if n_nodes == 0:
         # Empty graph (no lineitem rows): the rank seed 1/n is undefined
         # and every iteration would be a no-op — return the empty result
         # with the output schema instead of dividing by zero.
-        return ed.select(
+        return edges.select(
             F.col("src").alias("node"), F.lit(0.0).alias("pr")
         ).where(F.lit(False))
     use_broadcast = n_nodes <= BROADCAST_MAX_NODES
+    par = spark.sparkContext.defaultParallelism
     if use_broadcast:
-        # (src, dst, deg) — the per-iteration join input, computed ONCE
-        # and pinned; without the eager materialization every
-        # iteration's broadcast build would re-run the distinct + degree
-        # shuffles. coalesce to the full core count: measured 19.2 s →
-        # 8.9 s at sf1 and 4.2 s → 3.5 s at sf0.1 vs the earlier
-        # 8-partition tuning — with 8 iteration scans over the cached
-        # edges, keeping every core busy beats fatter partitions (a real
-        # cluster sizes this to edges/128MB).
-        e = ed.coalesce(spark.sparkContext.defaultParallelism).localCheckpoint()
+        # (src, dst) — the per-iteration join input, computed ONCE and
+        # pinned; without the eager materialization every iteration's
+        # broadcast build would re-run the distinct + degree shuffles.
+        # coalesce to the full core count: measured 19.2 s → 8.9 s at
+        # sf1 and 4.2 s → 3.5 s at sf0.1 vs the earlier 8-partition
+        # tuning — with 8 iteration scans over the cached edges, keeping
+        # every core busy beats fatter partitions (a real cluster sizes
+        # this to edges/128MB). deg rides along in driver memory terms:
+        # it is node-cardinality and joins the rank table, not the edges.
+        e = edges.coalesce(par).localCheckpoint()
+        degN = deg.localCheckpoint()
     else:
         # Non-broadcast path (node set too big for a per-iteration
         # broadcast): hash-partition the edges on src ONCE and cache.
         # persist — not localCheckpoint — because the cached plan keeps
         # HashPartitioning(src) visible to Catalyst, so each iteration
         # shuffles only the node-cardinality rank side; the edge table
-        # never moves again (plan-asserted).
-        e = ed.repartition(
-            spark.sparkContext.defaultParallelism, "src"
-        ).persist()
+        # never moves again (plan-asserted). DISK_ONLY, not the default
+        # MEMORY_AND_DISK_DESER: the cache exists for plan-fork reuse
+        # across 8 iterations, and a multi-GB deserialized edge cache
+        # squeezes the unified pool the per-iteration aggregation hash
+        # maps spill out of (the same failure mode as the r7
+        # agg_approx_percentile OOM, queries/distributed.py); the OS
+        # page cache serves the serialized re-reads without touching
+        # JVM heap. (sf100 A/B for this + the deg slimming is recorded
+        # in SCALE.md round 9.)
+        #
+        # Partition count: sized by BYTES (~128 MB of 16 B/row pairs per
+        # partition), floored at the core count — "one partition per
+        # core" stops being a partitioning strategy when a partition is
+        # 37M rows: each iteration pipelines two sort-merge joins and a
+        # partial aggregation through the SAME task, and at sf100 the
+        # per-task sort+hash footprint of 32 fat partitions OOMed a
+        # 48 GB heap. ~128 MB partitions are what a real cluster would
+        # use for this table anyway.
+        e_par = max(par, (n_edges * 16) // (128 << 20) + 1)
+        # sortWithinPartitions at materialization: InMemoryTableScan
+        # exposes the cached plan's outputPartitioning AND outputOrdering
+        # to Catalyst, so every iteration's sort-merge join sees the edge
+        # side already hash-partitioned on src and sorted — the 8
+        # iterations shuffle and sort ONLY the node-cardinality rank
+        # side. Paying one edge sort at build time instead of eight
+        # inside the loop.
+        e = (
+            edges.repartition(e_par, "src")
+            .sortWithinPartitions("src")
+            .persist(StorageLevel.DISK_ONLY)
+        )
         e.count()  # materialize the cache before the loop
-    ranks = e.select("src").distinct().select(
+        degN = (
+            deg.repartition(e_par, "src")
+            .sortWithinPartitions("src")
+            .persist(StorageLevel.DISK_ONLY)
+        )
+    ranks = degN.select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr")
     )
     for i in range(1, N_ITER + 1):
-        # Broadcast path: the rank table is node-cardinality (orders of
-        # magnitude below edge-cardinality), so each iteration becomes a
-        # map-side join over the cached edge partitions + one partial
-        # aggregation — the edge table is never re-shuffled. Shuffle
-        # path: same plan minus the hint; the rank side hash-shuffles to
-        # the edges' pinned partitioning.
-        r = F.broadcast(ranks) if use_broadcast else ranks
+        # Pre-scale ranks by 1/deg (node-cardinality join — deg rows ==
+        # rank rows, orders of magnitude below edge-cardinality), then
+        # join the bare (src, dst) edges. Broadcast path: the scaled
+        # rank table broadcasts, so each iteration is a map-side join
+        # over the cached edge partitions + one partial aggregation —
+        # the edge table is never re-shuffled. Shuffle path: same plan
+        # minus the hint; the scaled rank side hash-shuffles to the
+        # edges' pinned partitioning.
+        scaled = ranks.join(degN, ranks.node == degN.src).select(
+            "node", (F.col("pr") / F.col("deg")).alias("prd")
+        )
+        r = F.broadcast(scaled) if use_broadcast else scaled
         contrib = (
             e.join(r, e.src == r.node)
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+            .agg(F.sum(F.col("prd")).alias("c"))
         )
         ranks = contrib.select(
             F.col("dst").alias("node"),
@@ -171,11 +229,13 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks = ranks.localCheckpoint()
     out = ranks.select("node", F.round("pr", 6).alias("pr"))
     if not use_broadcast and _RELEASE_FALLBACK_CACHE:
-        # The shuffle path pinned the edge table with persist(); release
-        # that executor storage before returning (r5 ADVICE: it otherwise
-        # leaks across subsequent queries in a long-lived session). The
-        # final iteration is checkpointed first so the returned frame no
-        # longer depends on the cache being populated.
+        # The shuffle path pinned the edge and degree tables with
+        # persist(); release that executor storage before returning
+        # (r5 ADVICE: it otherwise leaks across subsequent queries in a
+        # long-lived session). The final iteration is checkpointed first
+        # so the returned frame no longer depends on the caches being
+        # populated.
         out = out.localCheckpoint()
         e.unpersist()
+        degN.unpersist()
     return out

@@ -75,6 +75,10 @@ _REWRITTEN_IN_ROUND: dict[str, int] = {
     "dedup_simhash": 9,
     "text_fingerprint": 9,
     "udf_cogroup_apply_in_pandas": 9,
+    # r9 scale rewrite: pagerank edge cache slimmed to bare (src, dst)
+    # with per-iteration rank pre-scaling, byte-sized partitioning, and
+    # a sorted DISK_ONLY cache (sf100 1272.6 -> 787.6 s; SCALE.md r9).
+    "graph_pagerank_fixed": 9,
 }
 
 
