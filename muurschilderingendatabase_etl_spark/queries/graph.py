@@ -93,102 +93,126 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-iteration PageRank over the supplier-part co-occurrence graph;
     see module docstring for the scale shape and the generated
     chained-CTE oracle."""
-    pairs = (
-        t(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_suppkey").alias("s"),
-            (F.col("l_partkey") + PART_OFFSET).alias("p"),
-        )
-        .distinct()
-    )
-    edges = pairs.selectExpr("s AS src", "p AS dst").union(
-        pairs.selectExpr("p AS src", "s AS dst")
-    )
-    # deg is NODE-cardinality and lives in its own small cached table;
-    # the edge table stays a bare (src, dst) pair. Carrying deg on every
-    # edge row (the pre-r9 shape) inflated the 8-iteration-reused edge
-    # cache by 50% (24 B/row vs 16 B/row of payload) — at sf100 (1.18B
-    # edge rows) that was the difference between the cache thrashing and
-    # fitting, and the sf100 probe read 16.8x for 10x data. Ranks are
-    # pre-scaled by 1/deg through a node-cardinality join each iteration
-    # instead (see the loop); same addends, node-sized work.
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Node and edge counts are driver scalars from ONE small action over
-    # the node-cardinality deg table (same pattern as the convergence
-    # probes in dedup_connected_components): folding n_nodes in as a
-    # literal keeps the per-iteration plan free of a second broadcast
-    # whose lineage would drag the whole edge pipeline along, and
-    # n_edges sizes the edge partitioning by BYTES below. deg has one
-    # row per node (undirected graph: every node has out-degree >= 1).
-    counts = deg.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("deg").alias("m")
-    ).collect()[0]
-    n_nodes = float(counts["n"])
-    n_edges = int(counts["m"] or 0)
-    if n_nodes == 0:
+    src_li = t(spark, sf_dir, "lineitem")
+    # ONE source scan + ONE distinct shuffle, ever (r9 ADVICE + the
+    # sf100 14.3x residual, SCALE.md round 10): the pre-r10 shape re-ran
+    # the full lineitem scan + distinct pipeline up to three times at
+    # build (counts action, edge cache build, degree cache build) — at
+    # sf100 that was 2 x 600M-row scans + 2 x 590M-row distinct shuffles
+    # of pure duplicated work. Build order now: (1) a COLUMN-LESS parquet
+    # count (metadata-class job — row-group row counts, no column IO)
+    # upper-bounds the edge bytes for partition sizing and the storage
+    # level, (2) the edge cache is built from the source in one pass,
+    # (3) degrees + the node count come from the cache.
+    n_li = src_li.count()
+    if n_li == 0:
         # Empty graph (no lineitem rows): the rank seed 1/n is undefined
         # and every iteration would be a no-op — return the empty result
         # with the output schema instead of dividing by zero.
-        return edges.select(
-            F.col("src").alias("node"), F.lit(0.0).alias("pr")
+        return src_li.select(
+            F.col("l_suppkey").alias("node"), F.lit(0.0).alias("pr")
         ).where(F.lit(False))
-    use_broadcast = n_nodes <= BROADCAST_MAX_NODES
+    pairs = src_li.select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_partkey") + PART_OFFSET).alias("p"),
+    ).distinct()
+    edges = pairs.selectExpr("s AS src", "p AS dst").union(
+        pairs.selectExpr("p AS src", "s AS dst")
+    )
     par = spark.sparkContext.defaultParallelism
-    if use_broadcast:
-        # (src, dst) — the per-iteration join input, computed ONCE and
-        # pinned; without the eager materialization every iteration's
-        # broadcast build would re-run the distinct + degree shuffles.
-        # coalesce to the full core count: measured 19.2 s → 8.9 s at
-        # sf1 and 4.2 s → 3.5 s at sf0.1 vs the earlier 8-partition
-        # tuning — with 8 iteration scans over the cached edges, keeping
-        # every core busy beats fatter partitions (a real cluster sizes
-        # this to edges/128MB). deg rides along in driver memory terms:
-        # it is node-cardinality and joins the rank table, not the edges.
-        e = edges.coalesce(par).localCheckpoint()
-        degN = deg.localCheckpoint()
-    else:
-        # Non-broadcast path (node set too big for a per-iteration
-        # broadcast): hash-partition the edges on src ONCE and cache.
-        # persist — not localCheckpoint — because the cached plan keeps
+    # Partition count: sized by BYTES (~128 MB of 16 B/row pairs per
+    # partition), floored at the core count — "one partition per core"
+    # stops being a partitioning strategy when a partition is 37M rows:
+    # each iteration pipelines two sort-merge joins and a partial
+    # aggregation through the SAME task, and at sf100 the per-task
+    # sort+hash footprint of 32 fat partitions OOMed a 48 GB heap.
+    # ~128 MB partitions are what a real cluster would use for this
+    # table anyway. |edges| <= 2|lineitem| upper-bounds the size;
+    # overestimating the dedup factor just yields smaller partitions.
+    est_edge_bytes = 2 * n_li * 16
+    e_par = max(par, est_edge_bytes // (128 << 20) + 1)
+    # Storage level by size: DISK_ONLY for big graphs — the cache exists
+    # for plan-fork reuse across 8 iterations, and a multi-GB edge cache
+    # squeezes the unified pool the per-iteration aggregation hash maps
+    # spill out of (the r7 agg_approx_percentile OOM failure mode); the
+    # OS page cache serves the serialized re-reads without touching JVM
+    # heap (sf100 A/B in SCALE.md round 9). Small graphs keep the
+    # columnar cache on-heap — forcing THEM through disk cost ~2.5 s at
+    # sf0.1 (round-10 A/B).
+    big = est_edge_bytes > (1 << 30)
+    if big:
+        # Big graph → the loop will almost surely take the shuffle path:
+        # hash-partition the edges on src ONCE and cache. persist — not
+        # localCheckpoint — because the cached plan keeps
         # HashPartitioning(src) visible to Catalyst, so each iteration
-        # shuffles only the node-cardinality rank side; the edge table
-        # never moves again (plan-asserted). DISK_ONLY, not the default
-        # MEMORY_AND_DISK_DESER: the cache exists for plan-fork reuse
-        # across 8 iterations, and a multi-GB deserialized edge cache
-        # squeezes the unified pool the per-iteration aggregation hash
-        # maps spill out of (the same failure mode as the r7
-        # agg_approx_percentile OOM, queries/distributed.py); the OS
-        # page cache serves the serialized re-reads without touching
-        # JVM heap. (sf100 A/B for this + the deg slimming is recorded
-        # in SCALE.md round 9.)
-        #
-        # Partition count: sized by BYTES (~128 MB of 16 B/row pairs per
-        # partition), floored at the core count — "one partition per
-        # core" stops being a partitioning strategy when a partition is
-        # 37M rows: each iteration pipelines two sort-merge joins and a
-        # partial aggregation through the SAME task, and at sf100 the
-        # per-task sort+hash footprint of 32 fat partitions OOMed a
-        # 48 GB heap. ~128 MB partitions are what a real cluster would
-        # use for this table anyway.
-        e_par = max(par, (n_edges * 16) // (128 << 20) + 1)
+        # moves only the node-cardinality rank side; the edge table
+        # never moves again (plan-asserted). DISK_ONLY: the cache exists
+        # for plan-fork reuse across 8 iterations, and a multi-GB edge
+        # cache squeezes the unified pool the per-iteration aggregation
+        # hash maps spill out of (the r7 agg_approx_percentile OOM
+        # failure mode); the OS page cache serves the serialized
+        # re-reads without touching JVM heap (sf100 A/B, SCALE.md r9).
         # sortWithinPartitions at materialization: InMemoryTableScan
-        # exposes the cached plan's outputPartitioning AND outputOrdering
-        # to Catalyst, so every iteration's sort-merge join sees the edge
-        # side already hash-partitioned on src and sorted — the 8
-        # iterations shuffle and sort ONLY the node-cardinality rank
-        # side. Paying one edge sort at build time instead of eight
-        # inside the loop.
+        # exposes the cached plan's outputPartitioning AND
+        # outputOrdering, so every iteration's sort-merge join sees the
+        # edge side already partitioned and sorted — one edge sort at
+        # build time instead of eight inside the loop.
         e = (
             edges.repartition(e_par, "src")
             .sortWithinPartitions("src")
             .persist(StorageLevel.DISK_ONLY)
         )
-        e.count()  # materialize the cache before the loop
+        e.count()  # materialize before anything derives from it
+        # Degrees from the materialized edge cache: e is
+        # HashPartitioning(src), so this groupBy is a ZERO-shuffle
+        # partial+final agg over the cached partitions (the pre-r10
+        # shape re-ran the whole source pipeline to build the same
+        # node-cardinality table). The sort restores the ordering the
+        # per-iteration SMJ against the rank side wants on the degree
+        # side.
         degN = (
-            deg.repartition(e_par, "src")
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
             .sortWithinPartitions("src")
             .persist(StorageLevel.DISK_ONLY)
         )
+        caches = [e, degN]
+    else:
+        # Small graph → the loop will almost surely broadcast: pin the
+        # edges lineage-free with an eager localCheckpoint at full core
+        # fan-out (coalesce, no shuffle — measured 19.2 s -> 8.9 s at
+        # sf1 / 4.2 s -> 3.5 s at sf0.1 vs fatter partitions, and the
+        # round-10 A/B showed a repartition+sort+DISK_ONLY build costs
+        # ~2.5 s extra here for nothing the broadcast join can use).
+        # Degrees derive from the checkpointed edges — NOT from the
+        # source pipeline, so the scan+distinct still runs exactly once.
+        e = edges.coalesce(par).localCheckpoint()
+        degN = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+        caches = []
+    # One row per node (undirected graph: every node has out-degree >= 1),
+    # so the node count — which picks the loop strategy — is a cheap
+    # count over the just-built node-cardinality cache.
+    n_nodes = float(degN.count())
+    use_broadcast = n_nodes <= BROADCAST_MAX_NODES
+    if not use_broadcast and not big:
+        # Rare mismatch (byte-small graph with a huge node set — forced
+        # in tests via BROADCAST_MAX_NODES=0): the shuffle loop wants
+        # src-partitioned, sorted, persisted inputs. Rebuild them FROM
+        # THE CHECKPOINTED EDGES (a cache-to-cache shuffle, never a
+        # second source scan).
+        e = (
+            e.repartition(e_par, "src")
+            .sortWithinPartitions("src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        e.count()
+        degN = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .sortWithinPartitions("src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        caches = [e, degN]
     ranks = degN.select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr")
     )
@@ -228,14 +252,16 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i < N_ITER:
             ranks = ranks.localCheckpoint()
     out = ranks.select("node", F.round("pr", 6).alias("pr"))
-    if not use_broadcast and _RELEASE_FALLBACK_CACHE:
-        # The shuffle path pinned the edge and degree tables with
-        # persist(); release that executor storage before returning
-        # (r5 ADVICE: it otherwise leaks across subsequent queries in a
-        # long-lived session). The final iteration is checkpointed first
-        # so the returned frame no longer depends on the caches being
-        # populated.
+    if caches and _RELEASE_FALLBACK_CACHE:
+        # The persisted builds pinned the edge and degree tables;
+        # release that executor storage before returning (r5 ADVICE: it
+        # otherwise leaks across subsequent queries in a long-lived
+        # session). The final iteration is checkpointed first so the
+        # returned frame no longer depends on the caches being
+        # populated. (The small-graph localCheckpoint path has nothing
+        # in the cache manager — the ContextCleaner reclaims its RDD
+        # blocks on GC.)
         out = out.localCheckpoint()
-        e.unpersist()
-        degN.unpersist()
+        for c in caches:
+            c.unpersist()
     return out

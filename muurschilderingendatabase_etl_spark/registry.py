@@ -75,10 +75,31 @@ _REWRITTEN_IN_ROUND: dict[str, int] = {
     "dedup_simhash": 9,
     "text_fingerprint": 9,
     "udf_cogroup_apply_in_pandas": 9,
-    # r9 scale rewrite: pagerank edge cache slimmed to bare (src, dst)
-    # with per-iteration rank pre-scaling, byte-sized partitioning, and
-    # a sorted DISK_ONLY cache (sf100 1272.6 -> 787.6 s; SCALE.md r9).
-    "graph_pagerank_fixed": 9,
+    # r10 backfill — found mechanically by scripts/check_rewrites.py
+    # (r9 VERDICT item 4): queries whose code slice (registered function
+    # + same-module helper closure) changed in r7/r8 while their latest
+    # external record predates the change. The hand-curated list had only
+    # backfilled the r8 money-migration set; these verified rounds were
+    # dated with `check_rewrites.py --when`.
+    "agg_corr_covar": 7,
+    "agg_hll_rolling_uniques": 7,
+    "array_hof_vector_norm": 7,
+    "sink_partitioned_pruning": 7,
+    "stream_late_data_drop": 7,
+    "join_dynamic_partition_pruning": 8,
+    "pipeline_incremental_upsert": 8,
+    "scan_orc_roundtrip": 8,
+    "sink_sorted_data_skipping": 8,
+    "sink_zorder_2d_skipping": 8,
+    "stream_foreach_batch_sink": 8,
+    "stream_static_join": 8,
+    "stream_transform_with_state": 8,
+    # r10 scale rewrite: pagerank build phase now pins the distinct
+    # pairs ONCE (DISK_ONLY) and derives edges/counts/degrees from that
+    # cache — the pre-r10 shape re-ran the source scan + distinct
+    # shuffle up to 3x at build (r9 ADVICE + the sf100 14.3x residual).
+    # Supersedes the r9 entry for the same query.
+    "graph_pagerank_fixed": 10,
 }
 
 

@@ -23,8 +23,17 @@ import pyspark.sql.functions as F
 
 
 def main() -> None:
+    # Validate BEFORE any Spark work: a missing SF_DIR or a typo'd index
+    # name should fail with usage here, not with a bare IndexError /
+    # KeyError after the expensive brute-force pass already ran.
+    usage = "usage: python scripts/ann_recall_value.py SF_DIR [lsh|ivf ...]"
+    if len(sys.argv) < 2 or not os.path.isdir(sys.argv[1]):
+        sys.exit(f"{usage}\n  SF_DIR must be an existing fixture directory")
     sf_dir = sys.argv[1]
     which = sys.argv[2:] or ["lsh", "ivf"]
+    bad = [w for w in which if w not in ("lsh", "ivf")]
+    if bad:
+        sys.exit(f"{usage}\n  unknown index name(s): {', '.join(bad)}")
 
     from muurschilderingendatabase_etl_spark.queries.similarity import (
         _ivf_topk,
@@ -46,7 +55,11 @@ def main() -> None:
     probes = {"lsh": _lsh_ann, "ivf": _ivf_topk}
     for name in which:
         t0 = time.time()
-        approx = probes[name](spark, sf_dir).select("q_id", "vec_id")
+        # distinct(): both helpers currently emit unique (q_id, vec_id)
+        # pairs, but the left-join recall metric would silently inflate
+        # n_exact AND n_hit if a future change introduced duplicates —
+        # make the metric robust by construction (r9 ADVICE).
+        approx = probes[name](spark, sf_dir).select("q_id", "vec_id").distinct()
         row = (
             exact.join(approx.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left")
             .agg(
