@@ -6,8 +6,11 @@ l_partkey) pairs in lineitem (part node ids offset so the two key
 spaces don't collide). Undirected means every node has out-degree >= 1,
 so there is no dangling-mass correction to carry.
 
-Spark shape (the one that scales): edges and degrees are computed once
-and cached — the edge cache carries BARE (src, dst) pairs and degrees
+Spark shape (the one that scales): the source is scanned and
+deduplicated exactly ONCE (a column-less metadata count sizes the
+partitioning and storage level up front; degrees and the node count
+derive from the materialized edge cache, never from a second source
+pass — r10). The edge cache carries BARE (src, dst) pairs and degrees
 live in a separate node-cardinality table that pre-scales the rank
 vector each iteration, so the 8-iteration-reused big table holds no
 derivable payload. Each of the 8 iterations is then one
@@ -38,14 +41,22 @@ PART_OFFSET = 10_000_000
 DAMPING = 0.85
 N_ITER = 8
 # Above this node count the per-iteration rank table is too big to
-# broadcast (≈16 B/row → ~30 MB at the default); the loop then switches
-# to the pre-hash-partitioned shuffle join: edges are repartitioned on
-# src ONCE and persisted (persist, not localCheckpoint — a cached
+# broadcast (16 B/row -> ~1 GB hash relation at the ceiling — the same
+# order as Spark's 8 GB/512M-row broadcast hard limits, with headroom
+# for the relation's ~3x build overhead); the loop then switches to the
+# pre-hash-partitioned shuffle join: edges are repartitioned on src
+# ONCE and persisted (persist, not localCheckpoint — a cached
 # repartition keeps HashPartitioning(src) visible to Catalyst, so only
-# the node-cardinality rank side shuffles each iteration).
+# the node-cardinality rank side shuffles each iteration). The r10
+# sf100 phase profile moved this from 2M to 64M: at 21M nodes the
+# shuffle loop's contribution aggregation re-shuffled ~1.18B joined
+# rows per iteration (partial agg combines nothing when per-partition
+# dst multiplicity < 1), 8 x ~19 GB of pure shuffle I/O, while the
+# broadcast loop over a dst-partitioned cache does the same iteration
+# with a 336 MB broadcast and ZERO aggregation exchange.
 # tests/test_plans.py::test_pagerank_nonbroadcast_path forces this path
 # via monkeypatch and diffs it against the broadcast path's output.
-BROADCAST_MAX_NODES = 2_000_000
+BROADCAST_MAX_NODES = 64_000_000
 # Production default: the fallback path checkpoints the final ranks and
 # releases the edge cache before returning (r5 ADVICE — the persist
 # otherwise outlives the query in a long-lived session). Tests flip this
@@ -141,35 +152,33 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 (round-10 A/B).
     big = est_edge_bytes > (1 << 30)
     if big:
-        # Big graph → the loop will almost surely take the shuffle path:
-        # hash-partition the edges on src ONCE and cache. persist — not
-        # localCheckpoint — because the cached plan keeps
-        # HashPartitioning(src) visible to Catalyst, so each iteration
-        # moves only the node-cardinality rank side; the edge table
-        # never moves again (plan-asserted). DISK_ONLY: the cache exists
-        # for plan-fork reuse across 8 iterations, and a multi-GB edge
-        # cache squeezes the unified pool the per-iteration aggregation
-        # hash maps spill out of (the r7 agg_approx_percentile OOM
-        # failure mode); the OS page cache serves the serialized
-        # re-reads without touching JVM heap (sf100 A/B, SCALE.md r9).
-        # sortWithinPartitions at materialization: InMemoryTableScan
-        # exposes the cached plan's outputPartitioning AND
-        # outputOrdering, so every iteration's sort-merge join sees the
-        # edge side already partitioned and sorted — one edge sort at
-        # build time instead of eight inside the loop.
+        # Big graph → partition the edge cache on DST: the broadcast
+        # loop (the common big regime now that the ceiling is 64M nodes)
+        # probes the cache with a broadcast rank relation and then
+        # aggregates contributions BY DST — with the cache
+        # HashPartitioning(dst) the groupBy needs no exchange at all,
+        # which is where the r9 shuffle loop burned ~19 GB of shuffle
+        # I/O per iteration at sf100 (r10 phase profile). persist — not
+        # localCheckpoint — keeps the partitioning visible to Catalyst;
+        # DISK_ONLY: the cache exists for plan-fork reuse across 8
+        # iterations, and a multi-GB edge cache squeezes the unified
+        # pool the aggregation hash maps spill out of (the r7
+        # agg_approx_percentile OOM failure mode); the OS page cache
+        # serves the serialized re-reads without touching JVM heap
+        # (sf100 A/B, SCALE.md r9). The sort makes InMemoryTableScan
+        # expose outputOrdering too, for free merge locality in the
+        # final agg.
         e = (
-            edges.repartition(e_par, "src")
-            .sortWithinPartitions("src")
+            edges.repartition(e_par, "dst")
+            .sortWithinPartitions("dst")
             .persist(StorageLevel.DISK_ONLY)
         )
         e.count()  # materialize before anything derives from it
-        # Degrees from the materialized edge cache: e is
-        # HashPartitioning(src), so this groupBy is a ZERO-shuffle
-        # partial+final agg over the cached partitions (the pre-r10
-        # shape re-ran the whole source pipeline to build the same
-        # node-cardinality table). The sort restores the ordering the
-        # per-iteration SMJ against the rank side wants on the degree
-        # side.
+        # Degrees from the materialized edge cache (the pre-r10 shape
+        # re-ran the whole source pipeline to build the same table):
+        # one node-cardinality exchange at build time. Cached sorted by
+        # src so the per-iteration rank x deg join streams the degree
+        # side without re-sorting it.
         degN = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -194,24 +203,30 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count over the just-built node-cardinality cache.
     n_nodes = float(degN.count())
     use_broadcast = n_nodes <= BROADCAST_MAX_NODES
-    if not use_broadcast and not big:
-        # Rare mismatch (byte-small graph with a huge node set — forced
-        # in tests via BROADCAST_MAX_NODES=0): the shuffle loop wants
-        # src-partitioned, sorted, persisted inputs. Rebuild them FROM
-        # THE CHECKPOINTED EDGES (a cache-to-cache shuffle, never a
-        # second source scan).
-        e = (
+    if not use_broadcast:
+        # Very-large regime (> BROADCAST_MAX_NODES — or forced in tests
+        # via BROADCAST_MAX_NODES=0): the shuffle loop wants
+        # src-partitioned, sorted, persisted inputs so that only the
+        # node-cardinality rank side moves each iteration. Rebuild them
+        # FROM THE EXISTING CACHE (one cache-to-cache shuffle, never a
+        # second source scan); the dst-partitioned original is released
+        # once its replacement is materialized.
+        lvl = StorageLevel.DISK_ONLY if big else StorageLevel.MEMORY_AND_DISK
+        e_src = (
             e.repartition(e_par, "src")
             .sortWithinPartitions("src")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(lvl)
         )
-        e.count()
-        degN = (
-            e.groupBy("src")
+        e_src.count()
+        deg_src = (
+            e_src.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
             .sortWithinPartitions("src")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(lvl)
         )
+        for c in caches:
+            c.unpersist()
+        e, degN = e_src, deg_src
         caches = [e, degN]
     ranks = degN.select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr")
@@ -220,11 +235,15 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Pre-scale ranks by 1/deg (node-cardinality join — deg rows ==
         # rank rows, orders of magnitude below edge-cardinality), then
         # join the bare (src, dst) edges. Broadcast path: the scaled
-        # rank table broadcasts, so each iteration is a map-side join
-        # over the cached edge partitions + one partial aggregation —
-        # the edge table is never re-shuffled. Shuffle path: same plan
-        # minus the hint; the scaled rank side hash-shuffles to the
-        # edges' pinned partitioning.
+        # rank table broadcasts, the join is map-side over the cached
+        # edge partitions, and — when the cache is HashPartitioning(dst)
+        # (big regime) — the contribution groupBy(dst) runs WITHOUT any
+        # exchange: the edge-cardinality relation never crosses the wire
+        # at all, in any stage of the iteration. Shuffle path (> 64M
+        # nodes): same plan minus the hint; the rank side hash-shuffles
+        # to the src-partitioned edge cache and the aggregation pays its
+        # exchange — the unavoidable cost once the rank table outgrows a
+        # broadcast.
         scaled = ranks.join(degN, ranks.node == degN.src).select(
             "node", (F.col("pr") / F.col("deg")).alias("prd")
         )

@@ -103,9 +103,27 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("q_id") != F.col("vec_id"))
         .select("q_id", "vec_id", cosine.alias("cosine"))
     )
+    # Two-stage top-k (r9 sf100 12.5x/decade tail): the single global
+    # window hash-partitions the FULL score relation on q_id — with
+    # |Q|=10 queries that is 10 tasks each sorting |corpus| rows (2M at
+    # sf100) while the other cores idle. Stage 1 ranks within
+    # (q_id, input partition) — 32x|Q| balanced groups — and keeps k
+    # rows per group, so the q_id-only window sees <= k x partitions
+    # rows per query instead of the corpus. Both stages rank by the
+    # SAME total order (cosine desc, vec_id), so the local top-k is a
+    # superset of the global top-k and the result is bit-identical.
+    w_local = Window.partitionBy("q_id", "pid").orderBy(
+        F.desc("cosine"), "vec_id"
+    )
+    local = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrk", F.row_number().over(w_local))
+        .where(F.col("lrk") <= _TOP_K)
+        .drop("pid", "lrk")
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        local.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= _TOP_K)
         .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rk")
     )

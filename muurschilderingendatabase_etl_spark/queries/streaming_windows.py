@@ -538,7 +538,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState — identical semantics and state shape, so
     the oracle contract holds either way. The TWS path is the one
     exercised wherever protobuf exists. PERMANENT WAIVER (r6;
-    re-probed 2026-08-16/r9 — protobuf still absent): package
+    re-probed 2026-08-16/r10 — protobuf still absent): package
     installation is out of scope in this build environment and
     protobuf is absent from the image, so the true TWS path cannot
     execute here by construction; the gate itself is unit-tested, the

@@ -100,6 +100,14 @@ _REWRITTEN_IN_ROUND: dict[str, int] = {
     # shuffle up to 3x at build (r9 ADVICE + the sf100 14.3x residual).
     # Supersedes the r9 entry for the same query.
     "graph_pagerank_fixed": 10,
+    # r10 scale rewrite: two-stage top-k in the brute-force cosine
+    # (local (q_id, partition) window bounds the global q_id window's
+    # input to k rows per group — the r9 sf100 12.5x/decade tail). The
+    # ANN queries' in-band recall contracts call the bruteforce, so
+    # their slices changed with it (flagged by check_rewrites.py).
+    "similarity_topk_bruteforce": 10,
+    "similarity_lsh_ann": 10,
+    "similarity_ivf_ann": 10,
 }
 
 
