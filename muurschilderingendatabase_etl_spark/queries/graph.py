@@ -175,13 +175,18 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         e.count()  # materialize before anything derives from it
         # Degrees from the materialized edge cache (the pre-r10 shape
-        # re-ran the whole source pipeline to build the same table):
-        # one node-cardinality exchange at build time. Cached sorted by
-        # src so the per-iteration rank x deg join streams the degree
-        # side without re-sorting it.
+        # re-ran the whole source pipeline to build the same table).
+        # Grouping by DST, not src: the undirected union is symmetric —
+        # every (a,b) pair appears once in each direction, so a node's
+        # dst-count equals its src-count — and dst matches the cache's
+        # partitioning, making this a ZERO-exchange agg (grouping by src
+        # here re-shuffled all 1.18B edge rows: 86 s of the sf100 build,
+        # r10 phase profile). Aliased to src for the per-iteration
+        # rank x deg join; sorted so that join streams the degree side.
         degN = (
-            e.groupBy("src")
+            e.groupBy("dst")
             .agg(F.count(F.lit(1)).alias("deg"))
+            .select(F.col("dst").alias("src"), "deg")
             .sortWithinPartitions("src")
             .persist(StorageLevel.DISK_ONLY)
         )
