@@ -108,6 +108,24 @@ _REWRITTEN_IN_ROUND: dict[str, int] = {
     "similarity_topk_bruteforce": 10,
     "similarity_lsh_ann": 10,
     "similarity_ivf_ann": 10,
+    # r10 scale rewrite: run_to_memory (streaming/replay.py) moved from
+    # the memory sink to a foreachBatch parquet sink after the sf100
+    # mid-tier sweep OOMed two replays in MemoryDataWriter.commit /
+    # driver maxResultSize. Output contents are reproduced exactly, but
+    # every replay-backed streaming query's execution path changed —
+    # replay.py is OUTSIDE their defining module, so check_rewrites.py's
+    # slice can't see it (documented limitation): listed by hand.
+    "stream_tumbling_window": 10,
+    "stream_sliding_window": 10,
+    "stream_session_window": 10,
+    "stream_watermark_append": 10,
+    "stream_dedup_stateful": 10,
+    "stream_dedup_within_watermark": 10,
+    "stream_static_join": 10,
+    "stream_stateful_user_stats": 10,
+    "stream_stream_join": 10,
+    "stream_transform_with_state": 10,
+    "stream_stream_outer_join": 10,
 }
 
 

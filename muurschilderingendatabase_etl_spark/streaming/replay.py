@@ -18,7 +18,6 @@ import contextlib
 import os
 import shutil
 import tempfile
-import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -71,16 +70,39 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame:
-    """Execute a streaming DataFrame to completion into a memory sink and
-    return the materialized result as a batch DataFrame."""
-    name = f"msdb_stream_{uuid.uuid4().hex[:12]}"
+    """Execute a streaming DataFrame to completion and return the
+    materialized result as a batch DataFrame.
+
+    Sink: foreachBatch -> parquet, NOT format("memory"). The memory sink
+    buffers every emitted row as JVM objects in the driver-side
+    ArrayBuffer (plus a full clone at commit) — at sf100 the
+    session-window replay's ~30M-row result OOMed a 48 GB heap inside
+    MemoryDataWriter.commit (r10 mid-tier sweep). foreachBatch keeps the
+    write DISTRIBUTED and disk-backed at any scale while reproducing the
+    memory sink's contents exactly under availableNow replay:
+
+    - complete mode re-emits the FULL state every micro-batch and the
+      memory sink replaces its contents -> overwrite per batch (the last
+      batch is the final state);
+    - append/update emit deltas and the memory sink accumulates ->
+      append per batch.
+    """
     spark = result.sparkSession
     ckpt = tempfile.mkdtemp(prefix="msdb_ckpt_")
+    # The returned DataFrame reads from this dir lazily, so it must
+    # outlive the call — session-scoped like the staging dirs (removed at
+    # interpreter exit), NOT per-run like the checkpoint.
+    outdir = tempfile.mkdtemp(prefix="msdb_sink_")
+    atexit.register(shutil.rmtree, outdir, ignore_errors=True)
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(outdir)
+
     try:
         with stream_state_partitions(spark):
             query = (
-                result.writeStream.format("memory")
-                .queryName(name)
+                result.writeStream.foreachBatch(_sink)
                 .outputMode(output_mode)
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
@@ -89,7 +111,7 @@ def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame
             query.awaitTermination()
     finally:
         # The checkpoint exists only for THIS availableNow run — the
-        # memory sink holds the materialized rows once the query
+        # parquet sink holds the materialized rows once the query
         # terminates, so the state-store snapshots are dead weight.
         # Without this a long-lived session (bench: 13 streaming
         # queries per run; the round driver: hundreds) leaks one
@@ -97,7 +119,12 @@ def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame
         # A RESUMABLE production stream keeps its checkpoint; this
         # helper is by contract a run-to-completion replay.
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    if not any(f.endswith(".parquet") for f in os.listdir(outdir)):
+        # No batch ever emitted (empty source / everything late): parquet
+        # can't infer a schema from an empty dir — return an empty frame
+        # with the stream's schema instead.
+        return spark.createDataFrame([], result.schema)
+    return spark.read.parquet(outdir)
 
 
 _STAGED2: dict[tuple[str, str], tuple[str, str]] = {}
