@@ -139,3 +139,60 @@ def test_replay_leaves_no_scratch_dirs(spark):
     assert after - before == set(), (
         f"streaming replay leaked checkpoint dirs: {sorted(after - before)}"
     )
+
+
+@pytest.mark.parametrize("output_mode", ["complete", "append", "update"])
+def test_parquet_sink_reproduces_memory_sink(spark, output_mode):
+    """run_to_memory's foreachBatch parquet sink (r10 — the memory sink
+    OOMed the sf100 replays) must hold EXACTLY the rows format("memory")
+    would have held, in every output mode: overwrite-per-batch for
+    complete (full state re-emitted each batch, memory sink replaces),
+    append-per-batch for append/update (deltas, memory sink accumulates).
+    A/B over the same availableNow replay topology."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from muurschilderingendatabase_etl_spark.streaming.replay import (
+        read_events_stream,
+        run_to_memory,
+        stream_state_partitions,
+    )
+
+    src = read_events_stream(spark, SF_DIR)
+    if output_mode == "append":
+        # append over an aggregation needs a watermark to finalize rows
+        agg = (
+            src.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "event_type",
+                "n",
+            )
+        )
+    else:
+        agg = src.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")
+        )
+
+    got = run_to_memory(agg, output_mode)
+
+    name = f"ab_mem_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="msdb_abmem_ckpt_")
+    try:
+        with stream_state_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        want = spark.table(name)
+        assert _sorted_rows(got) == _sorted_rows(want)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
