@@ -115,6 +115,11 @@ _REWRITTEN_IN_ROUND: dict[str, int] = {
     # every replay-backed streaming query's execution path changed —
     # replay.py is OUTSIDE their defining module, so check_rewrites.py's
     # slice can't see it (documented limitation): listed by hand.
+    # (stream_late_data_drop / stream_foreach_batch_sink drive their own
+    # sinks but share stream_state_partitions, whose default became
+    # staged-bytes-scaled in r10 — same out-of-module reason.)
+    "stream_late_data_drop": 10,
+    "stream_foreach_batch_sink": 10,
     "stream_tumbling_window": 10,
     "stream_sliding_window": 10,
     "stream_session_window": 10,

@@ -24,6 +24,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 _STAGED: dict[tuple[str, str], str] = {}
+# Bytes of the most recently staged stream source (set by
+# read_events_stream / stage_events_two_phase): sizes the state-store
+# partition default below. A module global rather than plumbing through
+# every query — the replay helpers are the only writers and readers.
+_LAST_STAGED_BYTES = 0
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
 
 @contextlib.contextmanager
@@ -38,10 +54,20 @@ def stream_state_partitions(spark: SparkSession, n: int | None = None):
     open/commit/snapshot overhead, which dominates when per-key state is
     small (measured on the stream-stream joins: 32 -> 8 partitions cut
     wall time from 8.0 s to 3.5 s at sf0.1). At 100 TB scale this knob
-    goes UP with keyspace; override via SPARK_GRAFT_STREAM_STATE_PARTITIONS.
+    goes UP with keyspace — the default scales with the bytes of the
+    most recently staged stream source (~one state partition per 64 MB,
+    floored at 8 so every driver-SF replay keeps the measured-optimal 8,
+    capped at the core count): at sf100 (1.9 GB events) that is the
+    difference between 8 fat single-threaded state stores and one per
+    core. Override via SPARK_GRAFT_STREAM_STATE_PARTITIONS.
     """
     if n is None:
-        n = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+        env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+        if env is not None:
+            n = int(env)
+        else:
+            cores = spark.sparkContext.defaultParallelism
+            n = max(8, min(cores, _LAST_STAGED_BYTES // (64 << 20)))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -65,6 +91,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, staged, ignore_errors=True)
         t(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
         _STAGED[key] = staged
+    global _LAST_STAGED_BYTES
+    _LAST_STAGED_BYTES = _dir_bytes(staged)
     schema = spark.read.parquet(staged).schema
     return spark.readStream.schema(schema).parquet(staged)
 
@@ -174,4 +202,6 @@ def stage_events_two_phase(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         parked = f"{staged}/b_stragglers.parquet"
         os.rename(f"{staged}/stage_b/{part_b}", parked)
         _STAGED2[key] = (srcdir, parked)
+    global _LAST_STAGED_BYTES
+    _LAST_STAGED_BYTES = _dir_bytes(_STAGED2[key][0])
     return _STAGED2[key]
