@@ -367,8 +367,15 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     bitmap = [0] * (_BLOOM_BITS // 64)
     for r in words:
         bitmap[r.wi] = r.bits
-    bm = F.array(*[F.lit(v).cast("long") for v in bitmap])
-    pw2 = F.array(*[F.lit(v).cast("long") for v in _POW2])
+    # ONE array Literal node each (F.lit of a Python list), NOT
+    # F.array(*[F.lit(v) ...]): the CreateArray form is 1024 child
+    # expressions, and might_contain inlines the bitmap SIX times (3
+    # probes x word+bit) — a ~6k-node tree whose driver-side analysis
+    # cost ~4.5 s regardless of data (measured: 4.6 s at sf0.001, where
+    # the scan is milliseconds; the r10 official 2.26x outlier). As a
+    # single Literal the same plan analyzes in milliseconds.
+    bm = F.lit(bitmap)
+    pw2 = F.lit(_POW2)
 
     def might_contain(gram):
         hit = None

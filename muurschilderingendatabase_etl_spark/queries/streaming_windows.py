@@ -351,6 +351,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from muurschilderingendatabase_etl_spark.streaming.replay import (
+        source_bytes_of,
         stage_events_two_phase,
         stream_state_partitions,
     )
@@ -380,7 +381,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events",
             )
         )
-        with stream_state_partitions(spark):
+        with stream_state_partitions(spark, source_bytes=source_bytes_of(win)):
             q = (
                 win.writeStream.format("parquet")
                 .option("path", outdir)
@@ -480,12 +481,13 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("append").parquet(outdir)
 
     from muurschilderingendatabase_etl_spark.streaming.replay import (
+        source_bytes_of,
         stream_state_partitions,
     )
 
     ckpt = tempfile.mkdtemp(prefix="msdb_feb_ckpt_")
     try:
-        with stream_state_partitions(spark):
+        with stream_state_partitions(spark, source_bytes=source_bytes_of(ev)):
             q = (
                 ev.writeStream.foreachBatch(write_batch)
                 .option("checkpointLocation", ckpt)

@@ -59,15 +59,16 @@ def load_all() -> None:
 _REWRITTEN_IN_ROUND: dict[str, int] = {
     # r8 rewrites (money exact-cents migration, bounded-group LONG state,
     # geo prefilter, WoW rewrite) — latest external records r5–r7.
+    # (stream_session_window / stream_stateful_user_stats /
+    # stream_sliding_window were also r8-rewritten; their entries live in
+    # the r10 block below — exactly ONE entry per query, latest round
+    # wins, enforced by tests/test_check_rewrites.py::test_no_duplicate_keys.)
     "trend_week_over_week": 8,
     "window_running_sum": 8,
-    "stream_session_window": 8,
     "agg_two_stage_salted": 8,
     "sink_merge_upsert": 8,
-    "stream_stateful_user_stats": 8,
     "agg_having": 8,
     "subq_scalar_correlated": 8,
-    "stream_sliding_window": 8,
     "geo_distance_join_grid": 8,
     "agg_min_by_max_by": 8,
     # r9 rewrites (ADVICE fixes): simhash contract column dropped (schema
@@ -81,19 +82,27 @@ _REWRITTEN_IN_ROUND: dict[str, int] = {
     # external record predates the change. The hand-curated list had only
     # backfilled the r8 money-migration set; these verified rounds were
     # dated with `check_rewrites.py --when`.
+    # (stream_late_data_drop r7 and stream_foreach_batch_sink /
+    # stream_static_join / stream_transform_with_state r8 were superseded
+    # by the r10 replay-sink rewrite — single entries in the r10 block.)
     "agg_corr_covar": 7,
     "agg_hll_rolling_uniques": 7,
     "array_hof_vector_norm": 7,
     "sink_partitioned_pruning": 7,
-    "stream_late_data_drop": 7,
     "join_dynamic_partition_pruning": 8,
     "pipeline_incremental_upsert": 8,
     "scan_orc_roundtrip": 8,
     "sink_sorted_data_skipping": 8,
     "sink_zorder_2d_skipping": 8,
-    "stream_foreach_batch_sink": 8,
-    "stream_static_join": 8,
-    "stream_transform_with_state": 8,
+    # r11 backfill — found by the CROSS-MODULE slicer (r10 VERDICT item
+    # 4): these queries' out-of-module dependencies (money.py exact-cents
+    # migration, textutil.py) changed in r8 while their latest records
+    # are r7; the module-local r10 slicer couldn't see it. Dated with
+    # the cross-module `check_rewrites.py --when`.
+    "agg_pricing_summary": 8,
+    "flagship_revenue_by_nation": 8,
+    "join_broadcast_dim": 8,
+    "text_quality_score": 8,
     # r10 scale rewrite: pagerank build phase now pins the distinct
     # pairs ONCE (DISK_ONLY) and derives edges/counts/degrees from that
     # cache — the pre-r10 shape re-ran the source scan + distinct
@@ -118,19 +127,30 @@ _REWRITTEN_IN_ROUND: dict[str, int] = {
     # (stream_late_data_drop / stream_foreach_batch_sink drive their own
     # sinks but share stream_state_partitions, whose default became
     # staged-bytes-scaled in r10 — same out-of-module reason.)
-    "stream_late_data_drop": 10,
-    "stream_foreach_batch_sink": 10,
-    "stream_tumbling_window": 10,
-    "stream_sliding_window": 10,
-    "stream_session_window": 10,
-    "stream_watermark_append": 10,
-    "stream_dedup_stateful": 10,
-    "stream_dedup_within_watermark": 10,
-    "stream_static_join": 10,
-    "stream_stateful_user_stats": 10,
-    "stream_stream_join": 10,
-    "stream_transform_with_state": 10,
-    "stream_stream_outer_join": 10,
+    # r11 perf rewrite: the bloom bitmap literal became a single array
+    # Literal node (was a 1024-child CreateArray inlined 6x into the
+    # probe predicate — ~4.5 s of data-independent driver analysis
+    # cost, the BENCH_r10 2.26x outlier; BASELINE.md round-11 note).
+    "contamination_bloom_prefilter": 11,
+    # r11 rewrite: the replay sink became idempotent under batch
+    # redelivery (batch_id-keyed subdirectories, r10 VERDICT item 2) and
+    # state-store sizing now resolves the stream's OWN staged source via
+    # its analyzed plan (r10 ADVICE) — streaming/replay.py again, this
+    # time flagged MECHANICALLY by the cross-module slicer, not by hand.
+    # Supersedes the r10 entries for the same 13 queries.
+    "stream_late_data_drop": 11,
+    "stream_foreach_batch_sink": 11,
+    "stream_tumbling_window": 11,
+    "stream_sliding_window": 11,
+    "stream_session_window": 11,
+    "stream_watermark_append": 11,
+    "stream_dedup_stateful": 11,
+    "stream_dedup_within_watermark": 11,
+    "stream_static_join": 11,
+    "stream_stateful_user_stats": 11,
+    "stream_stream_join": 11,
+    "stream_transform_with_state": 11,
+    "stream_stream_outer_join": 11,
 }
 
 

@@ -24,11 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 _STAGED: dict[tuple[str, str], str] = {}
-# Bytes of the most recently staged stream source (set by
-# read_events_stream / stage_events_two_phase): sizes the state-store
-# partition default below. A module global rather than plumbing through
-# every query — the replay helpers are the only writers and readers.
-_LAST_STAGED_BYTES = 0
+# Bytes of every staged stream-source directory, keyed by its path (set
+# by read_events_stream / stage_events_two_phase): sizes the state-store
+# partition default below. Keyed by PATH, not "most recently staged" —
+# a last-staged global picks the wrong size when staging calls
+# interleave with query execution (r10 ADVICE): source_bytes_of()
+# resolves the size of the source actually feeding a given stream by
+# matching these paths against its analyzed plan.
+_STAGED_BYTES: dict[str, int] = {}
 
 
 def _dir_bytes(path: str) -> int:
@@ -42,8 +45,33 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def source_bytes_of(stream_df: DataFrame) -> int:
+    """Bytes of the staged source(s) feeding ``stream_df``, resolved by
+    matching the staged directory paths against the stream's ANALYZED
+    plan — so the state-store sizing below follows the stream actually
+    being run, not whichever source happened to be staged last (r10
+    ADVICE: a last-staged module global mis-sizes interleaved stagings).
+
+    Falls back to the largest staged source this session when no staged
+    path appears in the plan (e.g. a rate source): conservative — more
+    state partitions, never fewer than the floor."""
+    try:
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        plan = ""
+    total = sum(b for path, b in _STAGED_BYTES.items() if path in plan)
+    if total:
+        return total
+    return max(_STAGED_BYTES.values(), default=0)
+
+
 @contextlib.contextmanager
-def stream_state_partitions(spark: SparkSession, n: int | None = None):
+def stream_state_partitions(
+    spark: SparkSession,
+    n: int | None = None,
+    *,
+    source_bytes: int | None = None,
+):
     """Temporarily size `spark.sql.shuffle.partitions` for a streaming
     query start.
 
@@ -55,19 +83,24 @@ def stream_state_partitions(spark: SparkSession, n: int | None = None):
     small (measured on the stream-stream joins: 32 -> 8 partitions cut
     wall time from 8.0 s to 3.5 s at sf0.1). At 100 TB scale this knob
     goes UP with keyspace — the default scales with the bytes of the
-    most recently staged stream source (~one state partition per 64 MB,
-    floored at 8 so every driver-SF replay keeps the measured-optimal 8,
-    capped at the core count): at sf100 (1.9 GB events) that is the
-    difference between 8 fat single-threaded state stores and one per
-    core. Override via SPARK_GRAFT_STREAM_STATE_PARTITIONS.
+    stream's staged source (~one state partition per 64 MB, floored at 8
+    so every driver-SF replay keeps the measured-optimal 8): at sf100
+    (1.9 GB events) that is the difference between 8 fat single-threaded
+    state stores and one per core. The core-count cap DOMINATES the
+    floor (``min(cores, max(8, ...))``): on a <8-core machine the count
+    never exceeds the available parallelism. Pass ``source_bytes``
+    (see ``source_bytes_of``) to size for a specific stream; override
+    everything via SPARK_GRAFT_STREAM_STATE_PARTITIONS.
     """
     if n is None:
         env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
         if env is not None:
             n = int(env)
         else:
+            if source_bytes is None:
+                source_bytes = max(_STAGED_BYTES.values(), default=0)
             cores = spark.sparkContext.defaultParallelism
-            n = max(8, min(cores, _LAST_STAGED_BYTES // (64 << 20)))
+            n = min(cores, max(8, source_bytes // (64 << 20)))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -91,10 +124,44 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, staged, ignore_errors=True)
         t(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
         _STAGED[key] = staged
-    global _LAST_STAGED_BYTES
-    _LAST_STAGED_BYTES = _dir_bytes(staged)
+    _STAGED_BYTES[staged] = _dir_bytes(staged)
     schema = spark.read.parquet(staged).schema
     return spark.readStream.schema(schema).parquet(staged)
+
+
+def batch_sink(outdir: str):
+    """foreachBatch sink: each micro-batch lands in its own ``batch-<id>``
+    subdirectory of ``outdir`` with mode=overwrite. Redelivering a batch
+    (foreachBatch is at-least-once) rewrites that batch's directory with
+    the same rows instead of appending duplicates — idempotent by
+    construction. Module-level (not a closure inside run_to_memory) so
+    tests can exercise the redelivery path directly."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # zero-padded so lexicographic subdir order == batch order
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(outdir, f"batch-{batch_id:09d}")
+        )
+
+    return _sink
+
+
+def read_sink(
+    spark: SparkSession, outdir: str, output_mode: str, schema
+) -> DataFrame:
+    """Read back what ``batch_sink`` wrote, reproducing the memory sink's
+    contents: complete mode re-emits the full state each batch (memory
+    sink REPLACES) -> last batch only; append/update emit deltas (memory
+    sink ACCUMULATES) -> union of all batches."""
+    batch_dirs = sorted(d for d in os.listdir(outdir) if d.startswith("batch-"))
+    if not batch_dirs:
+        # No batch ever emitted (empty source / everything late): parquet
+        # can't infer a schema from an empty dir — empty frame with the
+        # stream's schema instead.
+        return spark.createDataFrame([], schema)
+    if output_mode == "complete":
+        batch_dirs = batch_dirs[-1:]
+    return spark.read.parquet(*(os.path.join(outdir, d) for d in batch_dirs))
 
 
 def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame:
@@ -110,10 +177,17 @@ def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame
     memory sink's contents exactly under availableNow replay:
 
     - complete mode re-emits the FULL state every micro-batch and the
-      memory sink replaces its contents -> overwrite per batch (the last
-      batch is the final state);
-    - append/update emit deltas and the memory sink accumulates ->
-      append per batch.
+      memory sink replaces its contents -> only the LAST batch is read
+      back (the final state);
+    - append/update emit deltas and the memory sink accumulates -> the
+      union of all batches is read back.
+
+    Each micro-batch writes to its own ``batch-<id>`` subdirectory with
+    mode=overwrite, which makes the sink IDEMPOTENT under foreachBatch's
+    at-least-once contract (r10 VERDICT item 2): a batch redelivered
+    after a partial write rewrites ITS OWN directory instead of
+    appending duplicate rows — the memory sink's once-per-batch
+    semantics (latestBatchId dedup) preserved by construction.
     """
     spark = result.sparkSession
     ckpt = tempfile.mkdtemp(prefix="msdb_ckpt_")
@@ -122,15 +196,12 @@ def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame
     # interpreter exit), NOT per-run like the checkpoint.
     outdir = tempfile.mkdtemp(prefix="msdb_sink_")
     atexit.register(shutil.rmtree, outdir, ignore_errors=True)
-    write_mode = "overwrite" if output_mode == "complete" else "append"
-
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode(write_mode).parquet(outdir)
-
     try:
-        with stream_state_partitions(spark):
+        with stream_state_partitions(
+            spark, source_bytes=source_bytes_of(result)
+        ):
             query = (
-                result.writeStream.foreachBatch(_sink)
+                result.writeStream.foreachBatch(batch_sink(outdir))
                 .outputMode(output_mode)
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
@@ -147,12 +218,7 @@ def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame
         # A RESUMABLE production stream keeps its checkpoint; this
         # helper is by contract a run-to-completion replay.
         shutil.rmtree(ckpt, ignore_errors=True)
-    if not any(f.endswith(".parquet") for f in os.listdir(outdir)):
-        # No batch ever emitted (empty source / everything late): parquet
-        # can't infer a schema from an empty dir — return an empty frame
-        # with the stream's schema instead.
-        return spark.createDataFrame([], result.schema)
-    return spark.read.parquet(outdir)
+    return read_sink(spark, outdir, output_mode, result.schema)
 
 
 _STAGED2: dict[tuple[str, str], tuple[str, str]] = {}
@@ -202,6 +268,5 @@ def stage_events_two_phase(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         parked = f"{staged}/b_stragglers.parquet"
         os.rename(f"{staged}/stage_b/{part_b}", parked)
         _STAGED2[key] = (srcdir, parked)
-    global _LAST_STAGED_BYTES
-    _LAST_STAGED_BYTES = _dir_bytes(_STAGED2[key][0])
+    _STAGED_BYTES[_STAGED2[key][0]] = _dir_bytes(_STAGED2[key][0])
     return _STAGED2[key]

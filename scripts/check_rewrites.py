@@ -12,26 +12,37 @@ verified pass (tier 3), it
 
 1. finds the commit that recorded that pass (last commit touching the
    round's ``CORRECTNESS_r*.json`` artifact),
-2. extracts the query's defining module source at that commit,
+2. extracts the query's module sources at that commit,
 3. compares the query's AST SLICE — the registered function plus the
-   transitive closure of same-module top-level helpers and constants it
-   references — docstring-stripped, so comments, formatting, prose, and
-   edits to UNRELATED queries in the same module don't flag; any code
-   change on the query's own dependency path does, and
+   transitive closure of the top-level helpers, constants, and
+   PACKAGE-INTERNAL imports it references — docstring-stripped, so
+   comments, formatting, prose, and edits to UNRELATED queries don't
+   flag; any code change on the query's own dependency path does, and
 4. FAILS (exit 1) if the slice changed but the query is not listed in
    ``_REWRITTEN_IN_ROUND`` with a round newer than the record.
 
-Per-query slicing (not whole-module diff) is what makes this usable:
-multi-query modules like dedup.py are edited most rounds, and a module-
-level check would re-flag all ~10 resident queries on every edit — the
-exact failure the hand-curated list was avoiding. Scope note
-(documented limitation): the slice stops at the defining module's
-boundary. A behavior change in a shared helper MODULE (textutil.py,
-distributed.py, ...) will not flag the queries that import it — the
-curator still owns those, as before.
+Cross-module scope (r10 VERDICT item 4 / ADVICE): the slice FOLLOWS
+package-internal imports — ``from pkg.tables import t`` pulls ``t``'s
+slice from tables.py; a module imported and used via attribute access
+(``money.price_cents(...)``) pulls exactly the accessed attributes; a
+module used any other way is included whole (conservative). The r10
+memory-sink rewrite lived in streaming/replay.py — OUTSIDE the 13
+affected queries' defining modules — and the r10 slicer couldn't see
+it; this one does (tests/test_check_rewrites.py re-detects it on the
+real r9→r10 history). Import STATEMENTS are part of the slice too, so
+rebinding a name to a different module (``from textutil import norm``
+→ another module's ``norm``) flags even when the call site is
+unchanged (r10 ADVICE item 5).
+
+Exclusion: registry.py is bookkeeping (query ordering, rewrite
+metadata), not execution semantics — following the ``@query`` decorator
+into it would flag all ~186 queries every time the round list updates,
+destroying the gate's signal. Its import statement still contributes to
+each slice; its body does not.
 
 Usage: python scripts/check_rewrites.py            # gate (exit 1 on miss)
        python scripts/check_rewrites.py --list     # show per-query status
+       python scripts/check_rewrites.py --when Q.. # date a rewrite
 """
 
 from __future__ import annotations
@@ -44,6 +55,11 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+
+PKG = "muurschilderingendatabase_etl_spark"
+# Bookkeeping modules whose bodies are excluded from slice recursion
+# (their import statements still appear in slices — see module doc).
+EXCLUDE_MODULES = {f"{PKG}/registry.py"}
 
 
 def _strip_docstrings(tree: ast.AST) -> ast.AST:
@@ -62,40 +78,290 @@ def _strip_docstrings(tree: ast.AST) -> ast.AST:
     return tree
 
 
-def query_slice(source: str, fn_name: str) -> str | None:
-    """Docstring-stripped AST dump of ``fn_name`` plus every same-module
-    top-level definition (helper function, class, constant) it references,
-    transitively — the "did THIS query's code change" key.
+def _pkg_of(relpath: str) -> str:
+    """Dotted package containing the module at ``relpath``
+    (``pkg/queries/x.py`` -> ``pkg.queries``; an ``__init__.py`` IS its
+    package)."""
+    parts = relpath[:-3].split("/")  # drop .py
+    if parts[-1] == "__init__":
+        parts = parts[:-1]
+    else:
+        parts = parts[:-1]
+    return ".".join(parts)
 
-    Returns None if the function doesn't exist in this version of the
-    module (treated as changed by the caller). Decorators are part of the
-    FunctionDef node, so an oracle-builder helper referenced from
-    ``@query(..., oracle=_helper())`` is pulled into the slice too.
-    """
-    tree = _strip_docstrings(ast.parse(source))
-    top: dict[str, ast.AST] = {}
-    for node in tree.body:
+
+def _module_relpaths(dotted: str) -> list[str]:
+    p = dotted.replace(".", "/")
+    return [p + ".py", p + "/__init__.py"]
+
+
+class _Mod:
+    """Parsed module: top-level definitions and import bindings."""
+
+    def __init__(self, relpath: str, source: str):
+        self.relpath = relpath
+        self.tree = _strip_docstrings(ast.parse(source))
+        self.top: dict[str, ast.AST] = {}
+        # bound name -> (stmt_dump, dotted_module|None, original_name|None)
+        # dotted_module None => external/unresolvable; original_name None
+        # with a dotted_module => the binding IS that module object.
+        self.imp: dict[str, tuple[str, str | None, str | None]] = {}
+        for node in self.tree.body:
+            self._bind(node)
+
+    def _bind(self, node: ast.AST) -> None:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-            top[node.name] = node
+            self.top[node.name] = node
         elif isinstance(node, ast.Assign):
             for tgt in node.targets:
                 if isinstance(tgt, ast.Name):
-                    top[tgt.id] = node
+                    self.top[tgt.id] = node
         elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
-            top[node.target.id] = node
-    if fn_name not in top:
+            self.top[node.target.id] = node
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            for name, binding in _import_bindings(node, self.relpath).items():
+                self.imp[name] = binding
+
+
+def _import_bindings(
+    node: ast.Import | ast.ImportFrom, relpath: str
+) -> dict[str, tuple[str, str | None, str | None]]:
+    """Map of names bound by an import statement to
+    ``(stmt_dump, dotted_target_module | None, original_name | None)``."""
+    dump = ast.dump(node)
+    out: dict[str, tuple[str, str | None, str | None]] = {}
+    if isinstance(node, ast.Import):
+        for a in node.names:
+            if a.asname:
+                dotted = a.name if a.name.startswith(PKG) else None
+                out[a.asname] = (dump, dotted, None)
+            else:
+                # `import a.b` binds only `a`; a bare internal package
+                # object is too broad to follow — keep the stmt dump.
+                out[a.name.split(".")[0]] = (dump, None, None)
+        return out
+    # ImportFrom: resolve relative levels against this module's package.
+    if node.level:
+        base = _pkg_of(relpath).split(".")
+        # level=1 -> current package, each extra level -> one parent up
+        if node.level - 1 > 0:
+            base = base[: -(node.level - 1)] or [""]
+        dotted_base = ".".join(base)
+        dotted = f"{dotted_base}.{node.module}" if node.module else dotted_base
+    else:
+        dotted = node.module or ""
+    internal = dotted.startswith(PKG)
+    for a in node.names:
+        bound = a.asname or a.name
+        out[bound] = (dump, dotted if internal else None, a.name)
+    return out
+
+
+class Slicer:
+    """Cross-module AST slicer over a source provider (working tree or a
+    git commit), so old and new slices are computed identically."""
+
+    def __init__(self, get_source):
+        self._get_source = get_source
+        self._mods: dict[str, _Mod | None] = {}
+
+    def module(self, relpath: str) -> _Mod | None:
+        if relpath not in self._mods:
+            src = self._get_source(relpath)
+            if src is None:
+                self._mods[relpath] = None
+            else:
+                try:
+                    self._mods[relpath] = _Mod(relpath, src)
+                except SyntaxError:
+                    self._mods[relpath] = None
+        return self._mods[relpath]
+
+    def _resolve_module(self, dotted: str) -> str | None:
+        for cand in _module_relpaths(dotted):
+            if self.module(cand) is not None:
+                return cand
         return None
-    seen: set[str] = set()
-    frontier = [fn_name]
-    while frontier:
-        name = frontier.pop()
-        if name in seen:
-            continue
-        seen.add(name)
-        for ref in ast.walk(top[name]):
-            if isinstance(ref, ast.Name) and ref.id in top and ref.id not in seen:
-                frontier.append(ref.id)
-    return "\n".join(ast.dump(top[n]) for n in sorted(seen))
+
+    def _resolve_from(
+        self, dotted: str, name: str | None
+    ) -> tuple[str, str | None] | None:
+        """Resolve ``from <dotted> import <name>`` to a frontier item
+        ``(relpath, symbol|None)``; None => not package-internal."""
+        if not dotted.startswith(PKG):
+            return None
+        if name is None:  # the module object itself
+            rel = self._resolve_module(dotted)
+            return (rel, None) if rel else None
+        rel = self._resolve_module(dotted)
+        if rel is not None:
+            mod = self.module(rel)
+            if mod is not None and (name in mod.top or name in mod.imp):
+                return (rel, name)
+        # not a symbol of the module: maybe a submodule
+        sub = self._resolve_module(f"{dotted}.{name}")
+        if sub is not None:
+            return (sub, None)
+        return (rel, name) if rel else None
+
+    def slice(self, entry_relpath: str, fn_name: str) -> str | None:
+        entry = self.module(entry_relpath)
+        if entry is None or fn_name not in entry.top:
+            return None
+        parts: set[str] = set()
+        seen: set[tuple[str, str | None]] = set()
+        frontier: list[tuple[str, str | None]] = [(entry_relpath, fn_name)]
+        while frontier:
+            relpath, name = frontier.pop()
+            if (relpath, name) in seen or relpath in EXCLUDE_MODULES:
+                continue
+            seen.add((relpath, name))
+            mod = self.module(relpath)
+            if mod is None:
+                parts.add(f"{relpath}§{name}§<missing-module>")
+                continue
+            if name is None:
+                # whole module (conservative: imported as an object and
+                # used beyond attribute access) — body only, no recursion
+                parts.add(
+                    f"{relpath}§<module>§"
+                    + "\n".join(ast.dump(n) for n in mod.tree.body)
+                )
+                continue
+            if name in mod.top:
+                node = mod.top[name]
+                parts.add(f"{relpath}§{name}§{ast.dump(node)}")
+                self._walk(node, mod, parts, frontier)
+            elif name in mod.imp:
+                self._follow_import(mod.imp[name], relpath, name, parts, frontier)
+            else:
+                parts.add(f"{relpath}§{name}§<unresolved>")
+        return "\n".join(sorted(parts))
+
+    def _follow_import(
+        self,
+        binding: tuple[str, str | None, str | None],
+        relpath: str,
+        name: str,
+        parts: set[str],
+        frontier: list[tuple[str, str | None]],
+    ) -> None:
+        dump, dotted, orig = binding
+        # the import STATEMENT is part of the slice: rebinding a name to
+        # a different source module flags even with unchanged call sites
+        parts.add(f"{relpath}§import:{name}§{dump}")
+        if dotted is None:
+            return
+        target = self._resolve_from(dotted, orig)
+        if target is not None:
+            frontier.append(target)
+
+    def _walk(
+        self,
+        node: ast.AST,
+        mod: _Mod,
+        parts: set[str],
+        frontier: list[tuple[str, str | None]],
+    ) -> None:
+        # local (function-body) import bindings shadow module top-level
+        local_imp: dict[str, tuple[str, str | None, str | None]] = {}
+        for sub in ast.walk(node):
+            if isinstance(sub, (ast.Import, ast.ImportFrom)):
+                local_imp.update(_import_bindings(sub, mod.relpath))
+        # attribute-usage census: a module-alias used ONLY as `alias.attr`
+        # pulls just those attrs; any other use pulls the whole module
+        attr_uses: dict[str, set[str]] = {}
+        attr_counts: dict[str, int] = {}
+        name_counts: dict[str, int] = {}
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Attribute) and isinstance(sub.value, ast.Name):
+                attr_uses.setdefault(sub.value.id, set()).add(sub.attr)
+                attr_counts[sub.value.id] = attr_counts.get(sub.value.id, 0) + 1
+            if isinstance(sub, ast.Name):
+                name_counts[sub.id] = name_counts.get(sub.id, 0) + 1
+        for nm in sorted(name_counts):
+            binding = local_imp.get(nm) or mod.imp.get(nm)
+            if binding is None:
+                if nm in mod.top:
+                    frontier.append((mod.relpath, nm))
+                continue
+            # name also defined at top level AND imported locally: the
+            # local import wins inside this node (checked first above)
+            dump, dotted, orig = binding
+            if dotted is not None and orig is None:
+                # binding IS an internal module object
+                if name_counts[nm] == attr_counts.get(nm, 0):
+                    rel = self._resolve_module(dotted)
+                    parts.add(f"{mod.relpath}§import:{nm}§{dump}")
+                    if rel is None:
+                        continue
+                    for attr in sorted(attr_uses.get(nm, ())):
+                        frontier.append((rel, attr))
+                else:
+                    parts.add(f"{mod.relpath}§import:{nm}§{dump}")
+                    rel = self._resolve_module(dotted)
+                    if rel is not None:
+                        frontier.append((rel, None))
+            elif dotted is not None and orig is not None:
+                maybe_mod = self._resolve_from(dotted, orig)
+                if (
+                    maybe_mod is not None
+                    and maybe_mod[1] is None
+                    and name_counts[nm] == attr_counts.get(nm, 0)
+                ):
+                    # `from pkg.queries import money` style submodule
+                    # import, used only via attributes
+                    parts.add(f"{mod.relpath}§import:{nm}§{dump}")
+                    for attr in sorted(attr_uses.get(nm, ())):
+                        frontier.append((maybe_mod[0], attr))
+                else:
+                    self._follow_import(binding, mod.relpath, nm, parts, frontier)
+            else:
+                # external import: the statement dump alone
+                parts.add(f"{mod.relpath}§import:{nm}§{dump}")
+
+
+def repo_provider():
+    def get_source(relpath: str) -> str | None:
+        path = os.path.join(ROOT, relpath)
+        if not os.path.isfile(path):
+            return None
+        with open(path) as fh:
+            return fh.read()
+
+    return get_source
+
+
+def commit_provider(commit: str):
+    cache: dict[str, str | None] = {}
+
+    def get_source(relpath: str) -> str | None:
+        if relpath not in cache:
+            cache[relpath] = module_source_at(commit, relpath)
+        return cache[relpath]
+
+    return get_source
+
+
+def query_slice(
+    source: str,
+    fn_name: str,
+    relpath: str = "<module>.py",
+    get_source=None,
+) -> str | None:
+    """Slice of ``fn_name`` in a module given as a source string —
+    single-module entry point kept for tests; cross-module resolution
+    uses ``get_source`` when provided (defaults to nothing-else-exists,
+    which reproduces the module-local r10 behavior plus import-statement
+    capture)."""
+    provider = get_source or (lambda _p: None)
+
+    def combined(p: str) -> str | None:
+        if p == relpath:
+            return source
+        return provider(p)
+
+    return Slicer(combined).slice(relpath, fn_name)
 
 
 def record_commit(round_no: int) -> str | None:
@@ -140,10 +406,9 @@ def scan() -> tuple[list[str], list[str]]:
         mod = importlib.import_module(fn.__module__)
         mod_path[name] = os.path.relpath(mod.__file__, ROOT)
 
-    # One git lookup per round / per (commit, module) pair, not per query.
     commit_cache: dict[int, str | None] = {}
-    old_src_cache: dict[tuple[str, str], str | None] = {}
-    new_src_cache: dict[str, str] = {}
+    old_slicers: dict[str, Slicer] = {}
+    new_slicer = Slicer(repo_provider())
 
     violations: list[str] = []
     lines: list[str] = []
@@ -157,28 +422,18 @@ def scan() -> tuple[list[str], list[str]]:
         if commit is None:
             lines.append(f"  {name}: r{rnd} record commit not found — skipped")
             continue
-        key = (commit, relpath)
-        if key not in old_src_cache:
-            old_src_cache[key] = module_source_at(commit, relpath)
-        if relpath not in new_src_cache:
-            with open(os.path.join(ROOT, relpath)) as fh:
-                new_src_cache[relpath] = fh.read()
+        if commit not in old_slicers:
+            old_slicers[commit] = Slicer(commit_provider(commit))
         fn_name = queries[name].__name__
-        old_src = old_src_cache[key]
-        try:
-            old_slice = (
-                query_slice(old_src, fn_name) if old_src is not None else None
-            )
-        except SyntaxError:
-            old_slice = None
-        new_slice = query_slice(new_src_cache[relpath], fn_name)
+        old_slice = old_slicers[commit].slice(relpath, fn_name)
+        new_slice = new_slicer.slice(relpath, fn_name)
         changed = old_slice is None or old_slice != new_slice
         listed = registry._REWRITTEN_IN_ROUND.get(name, 0) > rnd
         if changed and not listed:
             violations.append(
-                f"{name}: its code slice in {relpath} changed since its r{rnd} "
-                f"external record (commit {commit[:9]}) but it is not listed "
-                f"in _REWRITTEN_IN_ROUND"
+                f"{name}: its code slice (root {relpath}) changed since its "
+                f"r{rnd} external record (commit {commit[:9]}) but it is not "
+                f"listed in _REWRITTEN_IN_ROUND"
             )
             lines.append(f"  {name}: VIOLATION (slice changed since r{rnd})")
         elif changed:
@@ -202,8 +457,7 @@ def rewrite_round(name: str) -> int:
     fn = registry.all_queries()[name]
     mod = importlib.import_module(fn.__module__)
     relpath = os.path.relpath(mod.__file__, ROOT)
-    with open(os.path.join(ROOT, relpath)) as fh:
-        current = query_slice(fh.read(), fn.__name__)
+    current = Slicer(repo_provider()).slice(relpath, fn.__name__)
     rounds = sorted(
         int(m.group(1))
         for f in os.listdir(ROOT)
@@ -213,14 +467,8 @@ def rewrite_round(name: str) -> int:
         commit = record_commit(rnd)
         if commit is None:
             continue
-        src = module_source_at(commit, relpath)
-        if src is None:
-            continue
-        try:
-            if query_slice(src, fn.__name__) == current:
-                return rnd
-        except SyntaxError:
-            continue
+        if Slicer(commit_provider(commit)).slice(relpath, fn.__name__) == current:
+            return rnd
     return (rounds[-1] if rounds else 0) + 1
 
 

@@ -101,6 +101,158 @@ def test_missing_function_returns_none():
     assert query_slice(MOD_V1, "query_zzz") is None
 
 
+def test_no_duplicate_rewrite_keys():
+    """_REWRITTEN_IN_ROUND is a dict LITERAL: Python silently keeps the
+    last of duplicate keys, so an early stale entry resurrects if a
+    later block is removed (r10 ADVICE item 1). Parse the literal and
+    assert every key appears exactly once."""
+    import ast
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(
+        root, "muurschilderingendatabase_etl_spark", "registry.py"
+    )
+    with open(path) as fh:
+        tree = ast.parse(fh.read())
+    for node in tree.body:
+        targets = (
+            node.targets
+            if isinstance(node, ast.Assign)
+            else [node.target] if isinstance(node, ast.AnnAssign) else []
+        )
+        if any(
+            isinstance(t, ast.Name) and t.id == "_REWRITTEN_IN_ROUND"
+            for t in targets
+        ):
+            literal = node.value
+            break
+    else:
+        raise AssertionError("_REWRITTEN_IN_ROUND literal not found")
+    keys = [k.value for k in literal.keys if isinstance(k, ast.Constant)]
+    dupes = sorted({k for k in keys if keys.count(k) > 1})
+    assert not dupes, f"duplicate _REWRITTEN_IN_ROUND keys: {dupes}"
+
+
+# --- cross-module slicing (r10 VERDICT item 4 / ADVICE item 5) ---
+
+HELPER_V1 = '''
+def norm(x):
+    return x + 1
+'''
+HELPER_V2 = HELPER_V1.replace("x + 1", "x + 2")
+OTHER_MOD = '''
+def norm(x):
+    return x * 7
+'''
+PKGNAME = "muurschilderingendatabase_etl_spark"
+ENTRY_TOPLEVEL = f'''
+from {PKGNAME}.textutil_fake import norm
+
+def query_x(spark, sf):
+    return norm(1)
+'''
+ENTRY_LOCAL = f'''
+def query_x(spark, sf):
+    from {PKGNAME}.textutil_fake import norm
+    return norm(1)
+'''
+ENTRY_REBOUND = ENTRY_TOPLEVEL.replace("textutil_fake", "othermod_fake")
+ENTRY_MODULE_ATTR = f'''
+from {PKGNAME} import textutil_fake as tu
+
+def query_x(spark, sf):
+    return tu.norm(1)
+'''
+
+
+def _provider(files):
+    return lambda p: files.get(p)
+
+
+def test_cross_module_helper_body_change_flags():
+    """A body change in an imported helper (ANOTHER module) changes the
+    importer's slice — the r10 memory-sink class of rewrite, for both
+    top-level and function-local import styles."""
+    entry = f"{PKGNAME}/queries/q.py"
+    helper = f"{PKGNAME}/textutil_fake.py"
+    for entry_src in (ENTRY_TOPLEVEL, ENTRY_LOCAL):
+        s1 = query_slice(
+            entry_src, "query_x", entry, _provider({helper: HELPER_V1})
+        )
+        s2 = query_slice(
+            entry_src, "query_x", entry, _provider({helper: HELPER_V2})
+        )
+        assert s1 != s2
+
+
+def test_import_rebinding_flags_even_with_same_symbol_name():
+    """Swapping WHICH module a name is imported from changes the slice
+    even if the call site and both bodies are untouched (r10 ADVICE)."""
+    entry = f"{PKGNAME}/queries/q.py"
+    files = {
+        f"{PKGNAME}/textutil_fake.py": HELPER_V1,
+        f"{PKGNAME}/othermod_fake.py": HELPER_V1,
+    }
+    s1 = query_slice(ENTRY_TOPLEVEL, "query_x", entry, _provider(files))
+    s2 = query_slice(ENTRY_REBOUND, "query_x", entry, _provider(files))
+    assert s1 != s2
+
+
+def test_module_attr_access_follows_only_used_attrs():
+    """`from pkg import mod` + `mod.norm(...)` follows norm's slice (a
+    body change flags) but an UNRELATED symbol added to the same module
+    does not flag — attribute-level precision, not whole-module."""
+    entry = f"{PKGNAME}/queries/q.py"
+    helper = f"{PKGNAME}/textutil_fake.py"
+    s1 = query_slice(
+        ENTRY_MODULE_ATTR, "query_x", entry, _provider({helper: HELPER_V1})
+    )
+    s2 = query_slice(
+        ENTRY_MODULE_ATTR, "query_x", entry, _provider({helper: HELPER_V2})
+    )
+    assert s1 != s2
+    unrelated = HELPER_V1 + "\ndef other():\n    return 9\n"
+    s3 = query_slice(
+        ENTRY_MODULE_ATTR, "query_x", entry, _provider({helper: unrelated})
+    )
+    assert s1 == s3
+
+
+def test_relative_import_resolves_within_package():
+    entry = f"{PKGNAME}/queries/q.py"
+    helper = f"{PKGNAME}/textutil_fake.py"
+    src = """
+from ..textutil_fake import norm
+
+def query_x(spark, sf):
+    return norm(1)
+"""
+    s1 = query_slice(src, "query_x", entry, _provider({helper: HELPER_V1}))
+    s2 = query_slice(src, "query_x", entry, _provider({helper: HELPER_V2}))
+    assert s1 != s2
+
+
+def test_r10_replay_rewrite_detected_retroactively():
+    """The r10 memory-sink -> foreachBatch rewrite lived in
+    streaming/replay.py, outside streaming_windows.py — the module-local
+    slicer missed it and the 13 queries were listed by hand. The
+    cross-module slicer must see it on the REAL r9 -> r10 history."""
+    from check_rewrites import Slicer, commit_provider, record_commit
+
+    c9, c10 = record_commit(9), record_commit(10)
+    if c9 is None or c10 is None:
+        import pytest
+
+        pytest.skip("round artifacts not in git history")
+    rel = "muurschilderingendatabase_etl_spark/queries/streaming_windows.py"
+    s9 = Slicer(commit_provider(c9)).slice(rel, "stream_tumbling_window")
+    s10 = Slicer(commit_provider(c10)).slice(rel, "stream_tumbling_window")
+    assert s9 is not None and s10 is not None
+    assert s9 != s10, (
+        "cross-module slicer failed to detect the r10 replay.py rewrite"
+    )
+
+
 def test_repo_gate_is_green():
     """The committed registry list must cover every rewrite the detector
     finds — this is the round-close gate, run as a test so it can't be
