@@ -542,8 +542,10 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised wherever protobuf exists. PERMANENT WAIVER (r6;
     re-probed 2026-08-16/r10 — protobuf still absent): package
     installation is out of scope in this build environment and
-    protobuf is absent from the image, so the true TWS path cannot
-    execute here by construction; the gate itself is unit-tested, the
+    protobuf is absent from the image (re-probed 2026-08-16/r11:
+    `import google.protobuf` still ModuleNotFoundError), so the true
+    TWS path cannot execute here by construction; the gate itself is
+    unit-tested, the
     fallback is batch-equivalence-tested, and the single pytest skip
     (tests/test_streaming.py) is the documented cost until the runtime
     image carries protobuf."""

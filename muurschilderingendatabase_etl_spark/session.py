@@ -35,6 +35,21 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE can only coalesce DOWN from the initial reducer count, so
+        # spark.sql.shuffle.partitions=32 silently CAPS every shuffle at
+        # 32 reducers no matter the data volume — at sf100 the Q5-shape
+        # 6-way join paid 14.8x/decade with 32 fat spilling reducers and
+        # 1.9x of it came straight back with a wider start (105.6 ->
+        # 57.0 s, SCALE.md round 11). Start every AQE-managed shuffle
+        # wide and let runtime coalescing pick the real count from
+        # observed bytes: the sf0.1 cost is nil because AQE coalesces
+        # tiny shuffles back to a handful of partitions. Stateful
+        # streaming is untouched (no AQE there; stream_state_partitions
+        # owns that knob via spark.sql.shuffle.partitions).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "512"),
+        )
         # Arrow batches for pandas UDFs / toPandas — the only acceptable
         # Python exchange path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
