@@ -363,7 +363,16 @@ _PAIR_ORACLE = """
 @query("similarity_label_cohesion", oracle=_PAIR_ORACLE)
 def similarity_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average pairwise cosine within/between labels on a bounded slice —
-    the ground-truth check that labels cluster in embedding space."""
+    the ground-truth check that labels cluster in embedding space.
+
+    The slice is <= 60 vectors BY CONSTRUCTION, so the self-join's right
+    side carries an explicit broadcast hint: without it Catalyst costs
+    the filtered scan at the FULL file size (no per-filter selectivity
+    estimate on parquet), refuses to broadcast either side of the
+    non-equi condition, and falls back to CartesianProduct — 32x32 =
+    1024 tasks each re-opening the source (the r11 sf100 tail sweep
+    read 22.8x/decade on what is constant work; with the hint the plan
+    is a 32-task BroadcastNestedLoopJoin at any corpus size)."""
     emb = (
         t(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < 60)
@@ -375,7 +384,7 @@ def similarity_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("a.v")) * _norm(F.col("b.v")),
     )
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
         .groupBy(
             F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
         )

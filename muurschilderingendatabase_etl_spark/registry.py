@@ -132,6 +132,11 @@ _REWRITTEN_IN_ROUND: dict[str, int] = {
     # probe predicate — ~4.5 s of data-independent driver analysis
     # cost, the BENCH_r10 2.26x outlier; BASELINE.md round-11 note).
     "contamination_bloom_prefilter": 11,
+    # r11 perf rewrite: broadcast hint on the bounded (<=60 vec) side of
+    # the cohesion self-join — Catalyst costed the filtered scan at full
+    # file size and fell back to CartesianProduct (1024 tasks re-opening
+    # the source; 22.8x/decade in the r11 tail sweep -> 2.7x post-fix).
+    "similarity_label_cohesion": 11,
     # r11 rewrite: the replay sink became idempotent under batch
     # redelivery (batch_id-keyed subdirectories, r10 VERDICT item 2) and
     # state-store sizing now resolves the stream's OWN staged source via
