@@ -462,8 +462,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _simhash_pairs_from(sims)
     sl = sims.where(F.col("doc_id") < _SIMHASH_SLICE_N)
     a, b = sl.alias("a"), sl.alias("b")
+    # Explicit broadcast hint on the bounded slice (r11 VERDICT item 3:
+    # the similarity_label_cohesion lesson) — without it this non-equi
+    # self-join is BNLJ only by lineage accident (the localCheckpoint
+    # feeds usable stats today); a stats or lineage change could
+    # silently resurrect a CartesianProduct that re-partitions constant
+    # work. <= _SIMHASH_SLICE_N rows x 16 bytes is trivially broadcast-
+    # able at any corpus size. Pinned by tests/test_plans.py::
+    # test_simhash_brute_slice_no_cartesian.
     brute = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

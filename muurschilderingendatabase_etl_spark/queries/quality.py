@@ -10,6 +10,7 @@ shuffles are the final aggregations and the contamination join.
 
 from __future__ import annotations
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -367,15 +368,18 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     bitmap = [0] * (_BLOOM_BITS // 64)
     for r in words:
         bitmap[r.wi] = r.bits
-    # ONE array Literal node each (F.lit of a Python list), NOT
-    # F.array(*[F.lit(v) ...]): the CreateArray form is 1024 child
-    # expressions, and might_contain inlines the bitmap SIX times (3
-    # probes x word+bit) — a ~6k-node tree whose driver-side analysis
-    # cost ~4.5 s regardless of data (measured: 4.6 s at sf0.001, where
-    # the scan is milliseconds; the r10 official 2.26x outlier). As a
-    # single Literal the same plan analyzes in milliseconds.
-    bm = F.lit(bitmap)
-    pw2 = F.lit(_POW2)
+    # ONE array Literal node each (F.lit of an int64 ndarray), NOT
+    # F.array(*[F.lit(v).cast("long") ...]): in classic PySpark 4
+    # F.lit(list) is sugar for array(*[lit(item)...]), so a plain list
+    # still builds the 1024-child CreateArray — the r11 fix's real win
+    # was dropping the 1024 per-element Cast nodes (~6.5x repro:
+    # 2.6 s -> 0.4 s; the r10 official 2.26x outlier inlined the
+    # bitmap SIX times, 3 probes x word+bit). The ndarray path calls
+    # the JVM lit directly: one Literal node per array AND the element
+    # type pinned to bigint (the bare-list form leaves small words to
+    # py4j's per-element int-vs-long choice + Catalyst coercion).
+    bm = F.lit(np.asarray(bitmap, dtype=np.int64))
+    pw2 = F.lit(np.asarray(_POW2, dtype=np.int64))
 
     def might_contain(gram):
         hit = None

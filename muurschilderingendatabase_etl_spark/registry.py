@@ -73,7 +73,8 @@ _REWRITTEN_IN_ROUND: dict[str, int] = {
     "agg_min_by_max_by": 8,
     # r9 rewrites (ADVICE fixes): simhash contract column dropped (schema
     # change), fingerprint verification-form pre-filter, cogroup NaN guard.
-    "dedup_simhash": 9,
+    # (dedup_simhash's r9 entry is superseded by its r12 one below —
+    # single entry per query, latest round wins.)
     "text_fingerprint": 9,
     "udf_cogroup_apply_in_pandas": 9,
     # r10 backfill — found mechanically by scripts/check_rewrites.py
@@ -127,11 +128,20 @@ _REWRITTEN_IN_ROUND: dict[str, int] = {
     # (stream_late_data_drop / stream_foreach_batch_sink drive their own
     # sinks but share stream_state_partitions, whose default became
     # staged-bytes-scaled in r10 — same out-of-module reason.)
-    # r11 perf rewrite: the bloom bitmap literal became a single array
-    # Literal node (was a 1024-child CreateArray inlined 6x into the
-    # probe predicate — ~4.5 s of data-independent driver analysis
-    # cost, the BENCH_r10 2.26x outlier; BASELINE.md round-11 note).
-    "contamination_bloom_prefilter": 11,
+    # r12 rewrite (r11 ADVICE): the bloom bitmap literal moved from
+    # F.lit(list) — which classic PySpark 4 desugars right back into a
+    # 1024-child CreateArray — to F.lit(np.int64 ndarray), the path
+    # that builds ONE JVM Literal node per array and pins the element
+    # type to bigint. (The r11 win was real but mis-attributed: it
+    # dropped the 1024 per-element Casts, not the CreateArray.)
+    # Supersedes the r11 entry for the same query.
+    "contamination_bloom_prefilter": 12,
+    # r12 rewrite (r11 VERDICT item 2): explicit broadcast hint on the
+    # bounded brute-force slice inside dedup_simhash's in-band agreement
+    # check — the non-equi self-join was BNLJ only by lineage accident
+    # (localCheckpoint stats); the hint pins it structurally, matching
+    # the cohesion fix. Supersedes the r9 entry for the same query.
+    "dedup_simhash": 12,
     # r11 perf rewrite: broadcast hint on the bounded (<=60 vec) side of
     # the cohesion self-join — Catalyst costed the filtered scan at full
     # file size and fell back to CartesianProduct (1024 tasks re-opening

@@ -88,7 +88,11 @@ def stream_state_partitions(
     (1.9 GB events) that is the difference between 8 fat single-threaded
     state stores and one per core. The core-count cap DOMINATES the
     floor (``min(cores, max(8, ...))``): on a <8-core machine the count
-    never exceeds the available parallelism. Pass ``source_bytes``
+    never exceeds the available parallelism — DELIBERATE (r11 ADVICE
+    confirmed): fewer cores than 8 means 8 state stores would just
+    time-slice, and the measured-optimal-8 figure was taken on the
+    32-core bench host, which all BASELINE/BENCH numbers assume.
+    Pass ``source_bytes``
     (see ``source_bytes_of``) to size for a specific stream; override
     everything via SPARK_GRAFT_STREAM_STATE_PARTITIONS.
     """

@@ -83,11 +83,10 @@ def _pkg_of(relpath: str) -> str:
     (``pkg/queries/x.py`` -> ``pkg.queries``; an ``__init__.py`` IS its
     package)."""
     parts = relpath[:-3].split("/")  # drop .py
-    if parts[-1] == "__init__":
-        parts = parts[:-1]
-    else:
-        parts = parts[:-1]
-    return ".".join(parts)
+    # __init__.py and plain modules resolve identically: dropping the
+    # final segment yields the package for an __init__ (its package IS
+    # the directory) and the containing package for a plain module.
+    return ".".join(parts[:-1])
 
 
 def _module_relpaths(dotted: str) -> list[str]:

@@ -266,3 +266,49 @@ def test_repo_gate_is_green():
         timeout=300,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_r11_rewrite_recall_on_real_history():
+    """r11 VERDICT item 6: the gate's recall, regression-tested against
+    known history. The r10 -> r11 diff contained exactly three rewrite
+    events touching verified queries: the idempotent replay-sink rewrite
+    (streaming/replay.py — OUT-OF-MODULE for all 13 replay-backed
+    streaming queries, the class the cross-module slicer exists for) and
+    the two perf fixes (cohesion broadcast hint, bloom single-literal).
+    The slicer must flag all 15 on the real commits AND stay quiet on
+    untouched queries (precision controls)."""
+    from check_rewrites import Slicer, commit_provider, record_commit
+
+    c10, c11 = record_commit(10), record_commit(11)
+    if c10 is None or c11 is None:
+        import pytest
+
+        pytest.skip("round artifacts not in git history")
+    pkg = "muurschilderingendatabase_etl_spark/queries"
+    streaming = [
+        "stream_late_data_drop", "stream_foreach_batch_sink",
+        "stream_tumbling_window", "stream_sliding_window",
+        "stream_session_window", "stream_watermark_append",
+        "stream_dedup_stateful", "stream_dedup_within_watermark",
+        "stream_static_join", "stream_stateful_user_stats",
+        "stream_stream_join", "stream_transform_with_state",
+        "stream_stream_outer_join",
+    ]
+    rewritten = [(q, f"{pkg}/streaming_windows.py") for q in streaming] + [
+        ("similarity_label_cohesion", f"{pkg}/similarity.py"),
+        ("contamination_bloom_prefilter", f"{pkg}/quality.py"),
+    ]
+    controls = [
+        ("agg_min_max", f"{pkg}/aggregation.py"),
+        ("join_left_anti", f"{pkg}/joins.py"),
+        ("dedup_exact_hash", f"{pkg}/dedup.py"),
+    ]
+    s10, s11 = Slicer(commit_provider(c10)), Slicer(commit_provider(c11))
+    missed = [
+        q for q, rel in rewritten if s10.slice(rel, q) == s11.slice(rel, q)
+    ]
+    false_flags = [
+        q for q, rel in controls if s10.slice(rel, q) != s11.slice(rel, q)
+    ]
+    assert not missed, f"gate recall regression — missed r11 rewrites: {missed}"
+    assert not false_flags, f"gate precision regression — false flags: {false_flags}"

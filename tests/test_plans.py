@@ -457,6 +457,24 @@ def test_geo_grid_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_simhash_brute_slice_no_cartesian(spark):
+    """The bounded brute-force hamming slice inside dedup_simhash is a
+    non-equi self-join — without the explicit broadcast hint it is BNLJ
+    only by lineage accident (r11 VERDICT item 3); a CartesianProduct
+    here re-partitions constant work into hundreds of tasks."""
+    p = _plan(spark, "dedup_simhash")
+    assert "CartesianProduct" not in p
+
+
+def test_label_cohesion_no_cartesian(spark):
+    """similarity_label_cohesion's bounded (<=60 vec) non-equi self-join
+    must stay a broadcast NLJ — Catalyst costed the filtered parquet
+    slice at full file size and fell back to CartesianProduct before the
+    r11 hint (22.8x/decade at sf100 -> 2.7x post-fix)."""
+    p = _plan(spark, "similarity_label_cohesion")
+    assert "CartesianProduct" not in p
+
+
 def test_heavy_hitters_candidates_broadcast(spark):
     """Pass 2 must semi-join the word stream against BROADCAST
     candidates (bounded by K per partition) — a shuffled join here
