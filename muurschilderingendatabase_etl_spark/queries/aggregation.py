@@ -378,13 +378,19 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def band(approx, exact):
         return F.abs(approx - exact) <= 0.01 * F.abs(exact)
 
+    # r12 perf (guide §1.2: don't compute things twice): the two probes
+    # share ONE sketch via the array form — two scalar percentile_approx
+    # aggregates each built their own full QuantileSummaries over every
+    # row. Same accuracy, same deterministic buffer, same extraction ⇒
+    # bit-identical p50/p99 values, half the sketch work.
     approx = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-            "p50_approx"
-        ),
-        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
-            "p99_approx"
-        ),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), F.lit(10000)
+        ).alias("pq")
+    ).select(
+        "l_returnflag",
+        F.col("pq")[0].alias("p50_approx"),
+        F.col("pq")[1].alias("p99_approx"),
     )
     exact = exact_group_percentiles(
         li, "l_returnflag", "l_extendedprice", [0.5, 0.99]

@@ -193,14 +193,22 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         caches = [e, degN]
     else:
         # Small graph → the loop will almost surely broadcast: pin the
-        # edges lineage-free with an eager localCheckpoint at full core
-        # fan-out (coalesce, no shuffle — measured 19.2 s -> 8.9 s at
-        # sf1 / 4.2 s -> 3.5 s at sf0.1 vs fatter partitions, and the
-        # round-10 A/B showed a repartition+sort+DISK_ONLY build costs
-        # ~2.5 s extra here for nothing the broadcast join can use).
-        # Degrees derive from the checkpointed edges — NOT from the
-        # source pipeline, so the scan+distinct still runs exactly once.
-        e = edges.coalesce(par).localCheckpoint()
+        # edges lineage-free with an eager localCheckpoint (coalesce,
+        # no shuffle — the round-10 A/B showed a repartition+sort+
+        # DISK_ONLY build costs ~2.5 s extra here for nothing the
+        # broadcast join can use). Partition count is BYTE-sized
+        # (~8 MB/partition, capped at the core count — r12, guide §2.2
+        # fewer-larger partitions): every one of the 8 iteration jobs
+        # re-probes these partitions, so "one per core" made each
+        # iteration a 32-task job over ~0.6 MB tasks at sf0.1 — pure
+        # scheduling overhead (A/B: 32 parts ≈ 5.7 s, 2 parts ≈ 4.0 s
+        # suite-shape; at sf1 the same formula keeps ~25 parts, matching
+        # the round-9 measurement that full fan-out beats fat partitions
+        # there). Degrees derive from the checkpointed edges — NOT from
+        # the source pipeline, so the scan+distinct still runs exactly
+        # once.
+        e_small_par = max(1, min(par, int(est_edge_bytes // (8 << 20)) + 1))
+        e = edges.coalesce(e_small_par).localCheckpoint()
         degN = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
         caches = []
     # One row per node (undirected graph: every node has out-degree >= 1),

@@ -362,7 +362,28 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_custkey") < 6000)
         .select("c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk"))
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
+    # r12 perf (guide §2.5/§2.6): synthetic names share ONE 16-char
+    # prefix block, so the broadcast join's pair generation runs
+    # entirely inside however many tasks the probe-side SCAN has — one,
+    # for a single small parquet file: 18M levenshtein evaluations on
+    # one core while 31 idle (measured 3.3 s warm). Widening the probe
+    # side to the core count spreads the block's pair space across
+    # every core (the build side is broadcast, so any probe split
+    # works). Only widen — never shrink a big scan's parallelism at
+    # real SFs. AQE can't fix this one: the hot key sits in ONE task of
+    # a broadcast join, not a shuffle it could split.
+    par = spark.sparkContext.defaultParallelism
+    a = blocked
+    if a.rdd.getNumPartitions() < par:
+        a = a.repartition(par)
+    a, b = a.alias("a"), blocked.alias("b")
+    # Threshold levenshtein (guide §1.2 per-task work): the banded
+    # O(len·k) form early-exits pairs whose distance exceeds 2 — the
+    # overwhelming majority — instead of filling the full O(len²) DP
+    # table and discarding the result. Returns -1 above the threshold,
+    # so BETWEEN 0 AND 2 keeps exactly the pairs `lev <= 2` kept
+    # before, with identical lev values (the threshold form is exact
+    # within the band).
     return (
         a.join(
             b,
@@ -370,11 +391,11 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .select(
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2)
             .cast("long")
             .alias("lev")
         )
-        .where(F.col("lev") <= 2)
+        .where(F.col("lev").between(0, 2))
         .groupBy("lev")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("lev")

@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -32,6 +33,24 @@ from muurschilderingendatabase_etl_spark.tables import t
 
 _TOP_K = 5
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+def _dlit_arr(vals) -> "F.Column":
+    """Constant array<double> literal in ONE py4j call (guide §7.3
+    driver cost): ``F.lit(ndarray)`` transfers element-by-element
+    through py4j's ListConverter (measured ~0.55 s for the 32 plane
+    rows of the LSH build) and ``F.array(*[F.lit(x)...])`` is worse
+    (one round-trip per element). A SQL-text array parses JVM-side in
+    one call; ``repr(float)`` is the shortest uniquely-round-tripping
+    decimal in both Python and Java, so values are bit-identical.
+    Each call site references its array once, so the pre-folding
+    CreateArray shape has none of the bloom-bitmap inline-6× blowup."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
+
+
+def _ilit_arr(vals) -> "F.Column":
+    """Constant array<int> literal in one py4j call (see _dlit_arr)."""
+    return F.expr("array(" + ",".join(str(int(x)) for x in vals) + ")")
 
 
 def _as_double(col):
@@ -245,16 +264,28 @@ def _lsh_ann(
     )
 
     def bucket_of(vcol, planes):
-        bits = [
-            F.when(
-                _dot(vcol, F.array(*[F.lit(x) for x in plane])) >= 0, 1 << i
-            ).otherwise(0)
-            for i, plane in enumerate(planes)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+        # r12 perf (guide §1.2 / §7.3 planning cost): the signature is
+        # built as ONE expression — a transform over the plane matrix
+        # (8 single-Literal ndarray rows), dot-folded and bit-weighted
+        # with a zip_with — instead of 8 separately constructed
+        # F.when(_dot(...)) columns per table. The old form cost ~2.6 s
+        # of pure driver-side build per run (hundreds of py4j Column
+        # round-trips × 4 tables; measured build=2.6 s vs exec=1.4 s),
+        # plus the CreateArray literal bloat the bloom fix documented.
+        # Per-plane fold order and bit weights are unchanged ⇒ identical
+        # bucket values.
+        pmat = F.array(*[_dlit_arr(p) for p in planes])
+        weights = _ilit_arr([1 << i for i in range(len(planes))])
+        dots = F.transform(pmat, lambda p: _dot(vcol, p))
+        return F.aggregate(
+            F.zip_with(
+                dots,
+                weights,
+                lambda d, w: F.when(d >= 0, w).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
 
     # Buckets materialize ONCE as columns; every probe below is an xor
     # on the column reference. Building probes from the raw bucket
@@ -288,12 +319,14 @@ def _lsh_ann(
 
     def probes_of(bucket_col):
         # all masks with popcount <= radius; radius 3 over 8 planes =
-        # 1 + 8 + 28 + 56 = 93 of 256.
+        # 1 + 8 + 28 + 56 = 93 of 256. r12 perf: one transform over a
+        # single mask-array Literal replaces 93 py4j-built XOR columns
+        # per table (same values, same ascending mask order).
         masks = [
             m for m in range(1 << n_planes) if bin(m).count("1") <= radius
         ]
-        return F.array(
-            *[bucket_col.bitwiseXOR(F.lit(m)) for m in masks]
+        return F.transform(
+            _ilit_arr(masks), lambda m: bucket_col.bitwiseXOR(m)
         )
 
     def _tag(tid: int):
@@ -540,8 +573,12 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         loop over the centroid literal matrix (generated-code size is
         O(1) in k) + array_min over (d2, cid) structs (lexicographic
         struct order = the (d2, cid) tie-break)."""
-        cid_arr = F.array(*[F.lit(c).cast("int") for c, _ in cents])
-        cmat = F.array(*[F.array(*[F.lit(x) for x in cv]) for _, cv in cents])
+        # r12 perf: one-py4j-call array literals (see _dlit_arr) — the
+        # nested F.array(*[F.lit(x)...]) form was k×dim+k ≈ 1040 py4j
+        # round-trips re-paid on every build. SQL int literals keep the
+        # cid element type int exactly as .cast("int") did.
+        cid_arr = _ilit_arr([c for c, _ in cents])
+        cmat = F.array(*[_dlit_arr(cv) for _, cv in cents])
         d2s = F.transform(
             cmat,
             lambda c: F.aggregate(

@@ -182,38 +182,63 @@ def udf_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cogroup().applyInPandas: both tables shuffle on the key, each key's
     two pandas frames arrive in one Python call — the arbitrary two-sided
     per-key merge (full-outer semantics included) that a plain join can't
-    express when the merge logic is imperative."""
-    import numpy as np
+    express when the merge logic is imperative.
+
+    r12 perf (guide §2.3 "aggregate before you shuffle" + §4.1): the
+    original shipped every raw event row through Arrow and merged them in
+    Python. The per-KEY Python call (three pandas frames constructed per
+    key) is the real cost — and AQE coalesced the tiny cogroup exchange
+    to ONE partition, so ~1.5k group calls ran serially in a single
+    Python worker (4.1–4.5 s warm at sf0.1). Now both sides are reduced
+    JVM-side first (map-side partial aggregation, one row per key crosses
+    the boundary) and explicitly hash-repartitioned by the key to the
+    core count, which FlatMapCoGroupsInPandas reuses directly (explicit
+    numPartitions ⇒ AQE won't coalesce it away), so the group calls run
+    on every core. At 100 TB the pre-aggregation is the difference
+    between shipping the events table and shipping |users| rows.
+
+    Exact-cents equivalence with the old NumPy merge: np.rint is
+    round-half-even on the float64 — exactly F.bround — and the oracle's
+    SUM skips NULLs, so the conditional sum (NaN/NULL dropped before
+    rounding, as dropna did) reproduces the old values bit-for-bit.
+    """
     import pandas as pd
 
-    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    par = spark.sparkContext.defaultParallelism
+    cents = F.when(
+        F.col("value").isNotNull() & ~F.isnan("value"),
+        F.bround(F.col("value") * 100, 0).cast("long"),
+    )
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .repartition(par, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("cents"),
+        )
+    )
     orders = (
         t(spark, sf_dir, "orders")
         .where(F.col("o_custkey") <= 150)
         .select(F.col("o_custkey").alias("user_id"))
+        .repartition(par, "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
 
     def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # one pre-aggregated row per side at most; cents is NaN when a
+        # user's values were all NULL/NaN (SUM over zero rows) — the old
+        # dropna path yielded 0.0 there too.
+        c = left["cents"].iloc[0] if len(left) else None
         return pd.DataFrame(
             {
                 "user_id": [key[0]],
-                "n_events": [len(left)],
-                # exact integer-cents sum (queries/money.py class): a
-                # float64 .sum() drifts on large per-user groups. NaN must
-                # be dropped BEFORE np.rint — np.rint(NaN).astype('int64')
-                # is undefined (INT64_MIN on most platforms), and the
-                # oracle's SUM skips NULLs.
-                "event_value": [
-                    float(
-                        np.rint(left["value"].dropna().to_numpy() * 100)
-                        .astype("int64")
-                        .sum()
-                    )
-                    / 100.0
-                    if len(left)
-                    else 0.0
-                ],
-                "n_orders": [len(right)],
+                "n_events": [int(left["n_events"].iloc[0]) if len(left) else 0],
+                "event_value": [float(c) / 100.0 if c is not None and pd.notna(c) else 0.0],
+                "n_orders": [int(right["n_orders"].iloc[0]) if len(right) else 0],
             }
         )
 

@@ -81,17 +81,20 @@ def stream_state_partitions(
     state partition is a state-store instance with per-micro-batch
     open/commit/snapshot overhead, which dominates when per-key state is
     small (measured on the stream-stream joins: 32 -> 8 partitions cut
-    wall time from 8.0 s to 3.5 s at sf0.1). At 100 TB scale this knob
-    goes UP with keyspace — the default scales with the bytes of the
-    stream's staged source (~one state partition per 64 MB, floored at 8
-    so every driver-SF replay keeps the measured-optimal 8): at sf100
-    (1.9 GB events) that is the difference between 8 fat single-threaded
-    state stores and one per core. The core-count cap DOMINATES the
-    floor (``min(cores, max(8, ...))``): on a <8-core machine the count
-    never exceeds the available parallelism — DELIBERATE (r11 ADVICE
-    confirmed): fewer cores than 8 means 8 state stores would just
-    time-slice, and the measured-optimal-8 figure was taken on the
-    32-core bench host, which all BASELINE/BENCH numbers assume.
+    wall time from 8.0 s to 3.5 s at sf0.1 in r10; the r12 re-measure
+    under the parquet replay sink found 8 -> 4 saves a further ~0.3-0.6 s
+    per stream across three stateful shapes — tumbling agg 1.65 -> 1.21,
+    stream-stream join 3.3 -> 2.7, session window 1.7 -> 1.25 warm —
+    while 4 -> 2 is flat, so 4 is the new floor). At 100 TB scale this
+    knob goes UP with keyspace — the default scales with the bytes of the
+    stream's staged source (~one state partition per 64 MB): at sf100
+    (1.9 GB events) that is the difference between a few fat
+    single-threaded state stores and one per core. The core-count cap
+    DOMINATES the floor (``min(cores, max(4, ...))``): on a small machine
+    the count never exceeds the available parallelism — DELIBERATE (r11
+    ADVICE confirmed): fewer cores than the floor means the extra state
+    stores would just time-slice, and the floor figure was measured on
+    the 32-core bench host, which all BASELINE/BENCH numbers assume.
     Pass ``source_bytes``
     (see ``source_bytes_of``) to size for a specific stream; override
     everything via SPARK_GRAFT_STREAM_STATE_PARTITIONS.
@@ -104,7 +107,7 @@ def stream_state_partitions(
             if source_bytes is None:
                 source_bytes = max(_STAGED_BYTES.values(), default=0)
             cores = spark.sparkContext.defaultParallelism
-            n = min(cores, max(8, source_bytes // (64 << 20)))
+            n = min(cores, max(4, source_bytes // (64 << 20)))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
