@@ -39,13 +39,35 @@ def pct_factor(rate: Column, base: int) -> Column:
     return F.lit(base) + F.round(rate * 100).cast("long")
 
 
+_SPLIT_BITS = 20
+_SPLIT = 1 << _SPLIT_BITS
+
+
+def _exact_long_sum(col: Column) -> Column:
+    """Exact SUM of a LONG column with the per-row work entirely on
+    codegen's vectorized long path (r12, guide §2.3 narrower types /
+    §1.2 per-task work): the per-row value is split into hi = x >> 20
+    and lo = x & (2^20 - 1) (an identity for any two's-complement
+    long), each half is summed in LONG, and the exact total
+    hi·2^20 + lo is reconstructed in DECIMAL once per GROUP instead of
+    per row. The old ``SUM(CAST(x AS DECIMAL(20,0)))`` paid a Decimal
+    box + decimal-accumulator update per row — measured 2× on the Q1
+    shape at sf0.1 (1.15 s → 0.6 s), values bit-identical.
+
+    Overflow headroom (ANSI mode makes any breach LOUD, not silent):
+    money terms are ≤ ~4.4e11 (e6 worst case), so hi ≤ ~4.2e5 and the
+    hi-sum holds to ~2e13 rows per group; the lo-sum holds to ~8.8e12
+    rows per group — two orders past the 100 TB design point, and far
+    past where the old DECIMAL(30,0) final sum overflows anyway."""
+    hi = F.sum(F.shiftright(col, _SPLIT_BITS))
+    lo = F.sum(col.bitwiseAND(F.lit(_SPLIT - 1)))
+    return hi.cast("decimal(38,0)") * _SPLIT + lo
+
+
 def sum_money(money: Column) -> Column:
     """Exact SUM of a 2-dp money column, emitted as the rounded double
     both engines agree on."""
-    return (
-        F.round(F.sum(cents(money).cast("decimal(20,0)")) / 100, 2)
-        .cast("double")
-    )
+    return F.round(_exact_long_sum(cents(money)) / 100, 2).cast("double")
 
 
 def sum_money_bounded(money: Column) -> Column:
@@ -65,9 +87,7 @@ def sum_money_bounded(money: Column) -> Column:
 def sum_disc_price(price: Column, discount: Column) -> Column:
     """Exact SUM(price * (1 - discount)) for 2-dp inputs."""
     e4 = cents(price) * pct_factor(-discount, 100)
-    return (
-        F.round(F.sum(e4.cast("decimal(20,0)")) / 10000, 2).cast("double")
-    )
+    return F.round(_exact_long_sum(e4) / 10000, 2).cast("double")
 
 
 def sum_charge(price: Column, discount: Column, tax: Column) -> Column:
@@ -77,9 +97,7 @@ def sum_charge(price: Column, discount: Column, tax: Column) -> Column:
         * pct_factor(-discount, 100)
         * pct_factor(tax, 100)
     )
-    return (
-        F.round(F.sum(e6.cast("decimal(20,0)")) / 1000000, 2).cast("double")
-    )
+    return F.round(_exact_long_sum(e6) / 1000000, 2).cast("double")
 
 
 # SQL-text spelling of sum_disc_price, for the SQL front-door queries.

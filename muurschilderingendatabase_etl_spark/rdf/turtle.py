@@ -577,21 +577,32 @@ def serialize_turtle(
     Guarded: this path collects to the driver, so a graph above
     `max_triples` raises instead of silently OOM-ing the driver at 100x
     scale — callers with big graphs belong on the distributed
-    `write_turtle` sink. The limit check is a cheap pushdown-friendly
-    `limit(n+1).count()`, not a full count of the graph."""
+    `write_turtle` sink. r12 perf (guide §1.2: one pass, not two): the
+    guard is folded into the collect itself — `orderBy.limit(n+1)` is a
+    TakeOrdered (per-partition top-k + driver merge), so the driver
+    receives at most max_triples+1 rows and the raise fires from the
+    collected length. The old separate `limit(n+1).count()` job
+    re-executed the whole upstream plan (for parsed graphs, a second
+    full Python parse pass — measured ~1.1 s of rdf_turtle_roundtrip at
+    sf0.1). An oversized graph now pays auto_prefixes' distributed scan
+    before raising; the driver-memory bound is unchanged."""
     triples = _serializable(triples)
-    n = triples.limit(max_triples + 1).count()
-    if n > max_triples:
+    if auto_compact:
+        prefixes = auto_prefixes(triples, prefixes)
+    prefix_items = sorted((prefixes or {}).items())
+    prefix_order = sorted(prefix_items, key=lambda kv: -len(kv[1]))
+    rows = (
+        triples.select(*TRIPLE_COLS)
+        .orderBy("s", "p", "o")
+        .limit(max_triples + 1)
+        .collect()
+    )
+    if len(rows) > max_triples:
         raise ValueError(
             f"serialize_turtle collects to the driver and the graph exceeds "
             f"max_triples={max_triples}; use write_turtle(df, path) for the "
             f"distributed single-artifact sink instead"
         )
-    if auto_compact:
-        prefixes = auto_prefixes(triples, prefixes)
-    prefix_items = sorted((prefixes or {}).items())
-    prefix_order = sorted(prefix_items, key=lambda kv: -len(kv[1]))
-    rows = triples.select(*TRIPLE_COLS).orderBy("s", "p", "o").collect()
     out = [f"@prefix {p}: <{ns}> ." for p, ns in prefix_items]
     for r in rows:
         subj = _format_term(r.s, r.s_kind, None, None, prefix_order)

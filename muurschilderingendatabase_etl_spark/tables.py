@@ -29,6 +29,21 @@ TABLES = (
 ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 
+# Lazy-DataFrame memo, keyed by (applicationId, sf_dir, table). This is
+# CATALOG caching, not result caching: the cached object is an unexecuted
+# logical plan — every action over it re-reads the parquet files — it is
+# exactly what a registered catalog table gives a real deployment. It
+# exists because `spark.read.parquet` pays file-listing + footer schema
+# inference + relation analysis on EVERY call (measured 0.23-0.49 s per
+# call warm at sf0.1), and the bench suite makes ~280 such calls — tens
+# of seconds of pure re-resolution of ten never-changing fixture paths
+# (r12, guide §6 file listing / §7.3 driver-side planning cost). Keyed
+# by applicationId so a new session never sees a stale relation; fixture
+# dirs are immutable within a session by contract (tests that synthesize
+# fixtures use fresh tmp paths).
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
@@ -39,6 +54,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which a vanilla
         # SparkSession rejects (PARQUET_TYPE_ILLEGAL). The legacy conf is
@@ -59,6 +78,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # (session.get_spark), so the cast to TIMESTAMP is
             # value-preserving and matches DuckDB's naive-timestamp oracle.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _DF_CACHE[key] = df
     return df
 
 
