@@ -43,6 +43,21 @@ def _rm_at_exit(path: str) -> str:
     return path
 
 
+def _write_partitions(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Byte-sized write fan-out (r12, guide §6): one write partition per
+    ~64 MB of source parquet, capped at the core count — output files
+    land in the size band readers want (not 32 few-hundred-KB shards of
+    a 60 MB fixture), and the fan-out still reaches every core once the
+    table is ≥ 64 MB × cores (sf10+), preserving the r7 lesson that a
+    constant small fan-out is the one true scale killer here."""
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        nbytes = 0
+    par = spark.sparkContext.defaultParallelism
+    return max(1, min(par, nbytes // (64 << 20) + 1))
+
+
 @query(
     "scan_parquet_pushdown",
     oracle="""
@@ -365,18 +380,21 @@ def sink_sorted_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a single dimension). At 100 TB: range-partition by date, sort
     within, and time-bounded scans touch only their row groups."""
     tmp = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_sorted_"))
-    # Partition count follows cluster fan-out, never a constant: a fixed
-    # 8-way write sorts n/8 rows per task on however many cores exist —
-    # the r7 sf10 tail probe measured exactly that as the suite's one
-    # super-linear entry (18.8x for 10x data, 8 of 32 cores busy). On a
-    # real cluster defaultParallelism grows with executors and per-task
-    # sort volume stays bounded; file SIZE (not count) is the knob a
-    # 100 TB deployment adds via maxRecordsPerFile.
+    # Partition count is BYTE-sized and capped at cluster fan-out, never
+    # a constant (r12, guide §6 output file sizing + §2.2): one range
+    # partition per ~64 MB of source parquet keeps output files in the
+    # size band readers want, uses every core once the table is ≥
+    # 64 MB × cores, and never writes 32 few-hundred-KB shards of a
+    # 60 MB fixture. The r7 lesson stands — a FIXED 8-way write sorted
+    # n/8 rows per task at sf10 (18.8×, 8 of 32 cores busy) — and this
+    # formula reproduces full fan-out there (sf10 lineitem ≈ several GB
+    # → capped at defaultParallelism); file SIZE within a task is the
+    # knob a 100 TB deployment adds via maxRecordsPerFile.
     (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_shipdate", "l_extendedprice")
         .repartitionByRange(
-            spark.sparkContext.defaultParallelism, "l_shipdate"
+            _write_partitions(spark, sf_dir, "lineitem"), "l_shipdate"
         )
         .sortWithinPartitions("l_shipdate")
         .write.mode("overwrite")
@@ -420,29 +438,28 @@ def sink_zorder_2d_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     write; the re-read is oracle-checked, proving layout never changes
     results. At 100 TB: pick the 2-4 most-filtered columns, normalize
     each to ~16 bits (rank or epoch-day), interleave, sort-write."""
-    import functools
-    import operator
-
     tmp = _rm_at_exit(tempfile.mkdtemp(prefix="msdb_zorder_"))
     ck = F.col("o_custkey").cast("long")
     dy = F.datediff(
         "o_orderdate", F.lit("1992-01-01").cast("date")
     ).cast("long")
-    z = functools.reduce(
-        operator.add,
-        [
-            F.shiftleft(F.shiftright(ck, i).bitwiseAND(F.lit(1)), 2 * i)
-            + F.shiftleft(
-                F.shiftright(dy, i).bitwiseAND(F.lit(1)), 2 * i + 1
-            )
-            for i in range(16)
-        ],
+    # r12 perf: the 16-step bit interleave as ONE SQL-text fold (a
+    # single py4j call) instead of 64 separately constructed shift
+    # columns; disjoint bit contributions sum identically in any order.
+    z = F.expr(
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+        " + shiftleft((ck >> i) & 1, 2 * i)"
+        " + shiftleft((dy >> i) & 1, 2 * i + 1))"
     )
     (
         t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice",
+                ck.alias("ck"), dy.alias("dy"))
         .select("o_custkey", "o_orderdate", "o_totalprice", z.alias("zv"))
-        # cluster-fan-out partitioning, same rationale as the sorted sink
-        .repartitionByRange(spark.sparkContext.defaultParallelism, "zv")
+        # byte-sized fan-out, same rationale as the sorted sink (§6)
+        .repartitionByRange(
+            _write_partitions(spark, sf_dir, "orders"), "zv"
+        )
         .sortWithinPartitions("zv")
         .drop("zv")
         .write.mode("overwrite")
