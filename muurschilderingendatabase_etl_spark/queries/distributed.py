@@ -66,7 +66,24 @@ def with_global_row_number(
     from pyspark.storagelevel import StorageLevel
 
     spark = df.sparkSession
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    if num_partitions is None:
+        # r12 (guide §2.2 fewer-larger partitions): byte-sized range
+        # partitions from Catalyst's column-pruning-aware size estimate
+        # — one per ~64 MB, floored at 8 (the measured-optimal count at
+        # bench SF: 32→8 saved ~0.25 s/run on the 600k-row sort, 8→2
+        # regressed), capped at the core count. At sf100 the estimate
+        # (~3.3 GB projected) reaches the cap, so big sorts keep full
+        # fan-out with bounded per-task sort volume.
+        par = spark.sparkContext.defaultParallelism
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = 0
+        n_parts = min(par, max(8, est // (64 << 20)))
+    else:
+        n_parts = num_partitions
     # Lazy localCheckpoint: the range shuffle's output is materialized
     # once (on first action) and BOTH branches below read those stored
     # partitions — partition assignment is provably identical across the

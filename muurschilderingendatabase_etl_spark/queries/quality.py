@@ -212,21 +212,28 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docstring), each gram + digest is built exactly once, and nothing
     # is materialized per-doc. Measured at sf1: 5.9 s vs 10.8 s for the
     # digest-in-array form.
-    shingles = (
-        docs.select(
-            "doc_id",
-            "source",
-            "w",
-            F.explode(F.sequence(F.lit(0), F.size("w") - 5)).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.md5(F.array_join(F.slice(F.col("w"), F.col("i") + 1, 5), " ")).alias("sh"),
-        )
-        .dropDuplicates(["doc_id", "sh"])
+    shingles_raw = docs.select(
+        "doc_id",
+        "source",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.size("w") - 5)).alias("i"),
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(F.slice(F.col("w"), F.col("i") + 1, 5), " ")).alias("sh"),
     )
-    bench = shingles.where(F.col("source") == "src0").select("sh").distinct()
+    # Per-branch dedup (r12, guide §2.4 remove shuffles): the candidate
+    # side keeps the (doc, sh) dedup — insurance against repeated-gram
+    # join blowup at scale — but the bench side only ever needs the
+    # DISTINCT sh set, so running it through the (doc_id, sh) dedup
+    # exchange first was a second shuffle the sh-level distinct makes
+    # redundant (plan: 3 exchanges → 2 on that branch). The source
+    # filters still push below each branch's Generate, so the two
+    # branches PARTITION the corpus scan rather than duplicating it.
+    shingles = shingles_raw.dropDuplicates(["doc_id", "sh"])
+    bench = (
+        shingles_raw.where(F.col("source") == "src0").select("sh").distinct()
+    )
     return (
         shingles.where(F.col("source") != "src0")
         .join(bench, "sh")

@@ -57,116 +57,203 @@ def load_all() -> None:
 # records on r8-rewritten code would otherwise sit behind 87 older names
 # until ~r10).
 _REWRITTEN_IN_ROUND: dict[str, int] = {
-    # r8 rewrites (money exact-cents migration, bounded-group LONG state,
-    # geo prefilter, WoW rewrite) — latest external records r5–r7.
-    # (stream_session_window / stream_stateful_user_stats /
-    # stream_sliding_window were also r8-rewritten; their entries live in
-    # the r10 block below — exactly ONE entry per query, latest round
-    # wins, enforced by tests/test_check_rewrites.py::test_no_duplicate_keys.)
-    "trend_week_over_week": 8,
-    "window_running_sum": 8,
-    "agg_two_stage_salted": 8,
-    "sink_merge_upsert": 8,
-    "agg_having": 8,
-    "subq_scalar_correlated": 8,
-    "geo_distance_join_grid": 8,
-    "agg_min_by_max_by": 8,
-    # r9 rewrites (ADVICE fixes): simhash contract column dropped (schema
-    # change), fingerprint verification-form pre-filter, cogroup NaN guard.
-    # (dedup_simhash's r9 entry is superseded by its r12 one below —
-    # single entry per query, latest round wins.)
-    "text_fingerprint": 9,
-    "udf_cogroup_apply_in_pandas": 9,
-    # r10 backfill — found mechanically by scripts/check_rewrites.py
-    # (r9 VERDICT item 4): queries whose code slice (registered function
-    # + same-module helper closure) changed in r7/r8 while their latest
-    # external record predates the change. The hand-curated list had only
-    # backfilled the r8 money-migration set; these verified rounds were
-    # dated with `check_rewrites.py --when`.
-    # (stream_late_data_drop r7 and stream_foreach_batch_sink /
-    # stream_static_join / stream_transform_with_state r8 were superseded
-    # by the r10 replay-sink rewrite — single entries in the r10 block.)
-    "agg_corr_covar": 7,
-    "agg_hll_rolling_uniques": 7,
-    "array_hof_vector_norm": 7,
-    "sink_partitioned_pruning": 7,
-    "join_dynamic_partition_pruning": 8,
-    "pipeline_incremental_upsert": 8,
-    "scan_orc_roundtrip": 8,
-    "sink_sorted_data_skipping": 8,
-    "sink_zorder_2d_skipping": 8,
-    # r11 backfill — found by the CROSS-MODULE slicer (r10 VERDICT item
-    # 4): these queries' out-of-module dependencies (money.py exact-cents
-    # migration, textutil.py) changed in r8 while their latest records
-    # are r7; the module-local r10 slicer couldn't see it. Dated with
-    # the cross-module `check_rewrites.py --when`.
-    "agg_pricing_summary": 8,
-    "flagship_revenue_by_nation": 8,
-    "join_broadcast_dim": 8,
-    "text_quality_score": 8,
-    # r10 scale rewrite: pagerank build phase now pins the distinct
-    # pairs ONCE (DISK_ONLY) and derives edges/counts/degrees from that
-    # cache — the pre-r10 shape re-ran the source scan + distinct
-    # shuffle up to 3x at build (r9 ADVICE + the sf100 14.3x residual).
-    # Supersedes the r9 entry for the same query.
-    "graph_pagerank_fixed": 10,
-    # r10 scale rewrite: two-stage top-k in the brute-force cosine
-    # (local (q_id, partition) window bounds the global q_id window's
-    # input to k rows per group — the r9 sf100 12.5x/decade tail). The
-    # ANN queries' in-band recall contracts call the bruteforce, so
-    # their slices changed with it (flagged by check_rewrites.py).
-    "similarity_topk_bruteforce": 10,
-    "similarity_lsh_ann": 10,
-    "similarity_ivf_ann": 10,
-    # r10 scale rewrite: run_to_memory (streaming/replay.py) moved from
-    # the memory sink to a foreachBatch parquet sink after the sf100
-    # mid-tier sweep OOMed two replays in MemoryDataWriter.commit /
-    # driver maxResultSize. Output contents are reproduced exactly, but
-    # every replay-backed streaming query's execution path changed —
-    # replay.py is OUTSIDE their defining module, so check_rewrites.py's
-    # slice can't see it (documented limitation): listed by hand.
-    # (stream_late_data_drop / stream_foreach_batch_sink drive their own
-    # sinks but share stream_state_partitions, whose default became
-    # staged-bytes-scaled in r10 — same out-of-module reason.)
-    # r12 rewrite (r11 ADVICE): the bloom bitmap literal moved from
-    # F.lit(list) — which classic PySpark 4 desugars right back into a
-    # 1024-child CreateArray — to F.lit(np.int64 ndarray), the path
-    # that builds ONE JVM Literal node per array and pins the element
-    # type to bigint. (The r11 win was real but mis-attributed: it
-    # dropped the 1024 per-element Casts, not the CreateArray.)
-    # Supersedes the r11 entry for the same query.
+    # r12 (optimization round): scripts/check_rewrites.py flags every
+    # query whose AST slice changed since its latest external record,
+    # and this round changed tables.t (the fixture-relation memo) —
+    # a dependency on every slice that loads a fixture table — plus
+    # money.py (hi/lo exact sums), the streaming replay floor, and a
+    # dozen per-query rewrites. 183 of 186 queries therefore carry an
+    # r12 rewrite entry (the three that synthesize their own data —
+    # rdf_rest_*_scan, scan_json_corrupt_records — are untouched).
+    # All 186 re-verified against the DuckDB oracle at sf0.01 via
+    # scripts/driver_mimic.py before commit (OPTIMIZATION_r12.md).
+    # Historical per-round entries (r8-r11) are superseded by these;
+    # git history preserves the provenance narrative.
+    "agg_approx_count_distinct": 12,
+    "agg_approx_percentile": 12,
+    "agg_conditional": 12,
+    "agg_corr_covar": 12,
+    "agg_count_distinct": 12,
+    "agg_cube": 12,
+    "agg_grouping_id": 12,
+    "agg_grouping_sets": 12,
+    "agg_having": 12,
+    "agg_hll_rolling_uniques": 12,
+    "agg_hll_sketch_mergeable": 12,
+    "agg_min_by_max_by": 12,
+    "agg_min_max": 12,
+    "agg_percentiles": 12,
+    "agg_pricing_summary": 12,
+    "agg_rollup": 12,
+    "agg_salted_two_phase": 12,
+    "agg_string_agg_ordered": 12,
+    "agg_two_stage_salted": 12,
+    "anomaly_zscore_gate": 12,
+    "array_collect_sorted": 12,
+    "array_explode_tokens": 12,
+    "array_higher_order": 12,
+    "array_hof_vector_norm": 12,
+    "array_ops_embeddings": 12,
+    "chunk_fixed_windows": 12,
     "contamination_bloom_prefilter": 12,
-    # r12 rewrite (r11 VERDICT item 2): explicit broadcast hint on the
-    # bounded brute-force slice inside dedup_simhash's in-band agreement
-    # check — the non-equi self-join was BNLJ only by lineage accident
-    # (localCheckpoint stats); the hint pins it structurally, matching
-    # the cohesion fix. Supersedes the r9 entry for the same query.
+    "contamination_ngram_overlap": 12,
+    "debounce_events": 12,
+    "dedup_connected_components": 12,
+    "dedup_embedding_cosine": 12,
+    "dedup_exact_hash": 12,
+    "dedup_minhash_lsh": 12,
+    "dedup_ngram_jaccard": 12,
+    "dedup_shared_ngram_spans": 12,
     "dedup_simhash": 12,
-    # r11 perf rewrite: broadcast hint on the bounded (<=60 vec) side of
-    # the cohesion self-join — Catalyst costed the filtered scan at full
-    # file size and fell back to CartesianProduct (1024 tasks re-opening
-    # the source; 22.8x/decade in the r11 tail sweep -> 2.7x post-fix).
-    "similarity_label_cohesion": 11,
-    # r11 rewrite: the replay sink became idempotent under batch
-    # redelivery (batch_id-keyed subdirectories, r10 VERDICT item 2) and
-    # state-store sizing now resolves the stream's OWN staged source via
-    # its analyzed plan (r10 ADVICE) — streaming/replay.py again, this
-    # time flagged MECHANICALLY by the cross-module slicer, not by hand.
-    # Supersedes the r10 entries for the same 13 queries.
-    "stream_late_data_drop": 11,
-    "stream_foreach_batch_sink": 11,
-    "stream_tumbling_window": 11,
-    "stream_sliding_window": 11,
-    "stream_session_window": 11,
-    "stream_watermark_append": 11,
-    "stream_dedup_stateful": 11,
-    "stream_dedup_within_watermark": 11,
-    "stream_static_join": 11,
-    "stream_stateful_user_stats": 11,
-    "stream_stream_join": 11,
-    "stream_transform_with_state": 11,
-    "stream_stream_outer_join": 11,
+    "filter_between_distinct": 12,
+    "filter_isin": 12,
+    "filter_null_safe_eq": 12,
+    "filter_rlike": 12,
+    "flagship_revenue_by_nation": 12,
+    "funnel_signup_purchase": 12,
+    "geo_distance_join_grid": 12,
+    "graph_pagerank_fixed": 12,
+    "heavy_hitters_two_pass": 12,
+    "index_doc_frequency": 12,
+    "index_posting_lists": 12,
+    "join_asof_event_order": 12,
+    "join_asof_forward_tolerance": 12,
+    "join_broadcast_dim": 12,
+    "join_cross": 12,
+    "join_dynamic_partition_pruning": 12,
+    "join_full_outer": 12,
+    "join_fuzzy_levenshtein": 12,
+    "join_inner_three_way": 12,
+    "join_interval_bucketed": 12,
+    "join_interval_overlap": 12,
+    "join_left_anti": 12,
+    "join_left_outer": 12,
+    "join_left_semi": 12,
+    "join_right_outer": 12,
+    "join_theta_range": 12,
+    "json_extract_props": 12,
+    "json_variant_extract": 12,
+    "map_lookup_remap": 12,
+    "multimodal_feature_extract": 12,
+    "multimodal_frame_sample": 12,
+    "multimodal_metadata": 12,
+    "multimodal_resize_plan": 12,
+    "pack_sequence_bins": 12,
+    "pii_quarantine_split": 12,
+    "pii_redact_mask": 12,
+    "pipeline_incremental_upsert": 12,
+    "pipeline_training_data_prep": 12,
+    "pivot_segment_by_year": 12,
+    "profile_expectations": 12,
+    "project_computed_columns": 12,
+    "project_explode_outer": 12,
+    "project_posexplode": 12,
+    "project_unpivot_melt": 12,
+    "quality_gopher_gates": 12,
+    "quality_length_band_filter": 12,
+    "quality_repetition_dupwords": 12,
+    "rdf_enrichment_join": 12,
+    "rdf_graph_pipeline": 12,
+    "rdf_turtle_roundtrip": 12,
+    "retention_weekly_cohorts": 12,
+    "sample_hash_stratified": 12,
+    "sample_per_source_quota": 12,
+    "sample_seeded": 12,
+    "scalar_calendar_arith": 12,
+    "scalar_conditional": 12,
+    "scalar_date_fns": 12,
+    "scalar_date_trunc_diff": 12,
+    "scalar_math_fns": 12,
+    "scalar_null_combinators": 12,
+    "scalar_regexp_extract": 12,
+    "scalar_string_fns": 12,
+    "scalar_try_arithmetic": 12,
+    "scan_csv_roundtrip": 12,
+    "scan_json_roundtrip": 12,
+    "scan_orc_roundtrip": 12,
+    "scan_parquet_pushdown": 12,
+    "scan_xml_roundtrip": 12,
+    "scd2_from_changelog": 12,
+    "sequence_pattern_match": 12,
+    "setop_dropduplicates_subset": 12,
+    "setop_except": 12,
+    "setop_except_all": 12,
+    "setop_intersect": 12,
+    "setop_intersect_all": 12,
+    "setop_union_all_counts": 12,
+    "setop_union_by_name": 12,
+    "setop_union_distinct": 12,
+    "similarity_ivf_ann": 12,
+    "similarity_label_cohesion": 12,
+    "similarity_lsh_ann": 12,
+    "similarity_topk_bruteforce": 12,
+    "sink_compact_small_files": 12,
+    "sink_managed_table_roundtrip": 12,
+    "sink_merge_upsert": 12,
+    "sink_parquet_roundtrip": 12,
+    "sink_partitioned_pruning": 12,
+    "sink_sorted_data_skipping": 12,
+    "sink_zorder_2d_skipping": 12,
+    "skyline_pareto_frontier": 12,
+    "sort_global_topk": 12,
+    "sort_multi_key": 12,
+    "sort_nulls_ordering": 12,
+    "split_train_valid_test": 12,
+    "sql_local_supplier_volume": 12,
+    "sql_recursive_closure": 12,
+    "sql_shipping_priority": 12,
+    "stats_chi_square_contingency": 12,
+    "stats_corr_moments": 12,
+    "stats_histogram_bins": 12,
+    "stats_percentiles_exact": 12,
+    "stream_dedup_stateful": 12,
+    "stream_dedup_within_watermark": 12,
+    "stream_foreach_batch_sink": 12,
+    "stream_late_data_drop": 12,
+    "stream_session_window": 12,
+    "stream_sliding_window": 12,
+    "stream_stateful_user_stats": 12,
+    "stream_static_join": 12,
+    "stream_stream_join": 12,
+    "stream_stream_outer_join": 12,
+    "stream_transform_with_state": 12,
+    "stream_tumbling_window": 12,
+    "stream_watermark_append": 12,
+    "subq_exists_correlated": 12,
+    "subq_in_uncorrelated": 12,
+    "subq_lateral_topn": 12,
+    "subq_not_exists_anti": 12,
+    "subq_quantified_all": 12,
+    "subq_scalar_correlated": 12,
+    "subq_scalar_uncorrelated": 12,
+    "text_fingerprint": 12,
+    "text_lang_id": 12,
+    "text_quality_score": 12,
+    "text_tfidf_topterms": 12,
+    "text_token_count": 12,
+    "text_unigram_surprisal": 12,
+    "timeseries_resample_ffill": 12,
+    "trend_week_over_week": 12,
+    "udaf_apply_in_pandas": 12,
+    "udf_cogroup_apply_in_pandas": 12,
+    "udf_map_in_arrow": 12,
+    "udf_pandas_vectorized": 12,
+    "udf_scalar_python": 12,
+    "udtf_sentence_split": 12,
+    "window_first_last_nth": 12,
+    "window_lag_lead": 12,
+    "window_moving_avg_frame": 12,
+    "window_ntile_buckets": 12,
+    "window_range_frame": 12,
+    "window_rank_dense_rank": 12,
+    "window_rank_distribution": 12,
+    "window_rolling_median": 12,
+    "window_running_sum": 12,
+    "window_sessionize_gaps": 12,
+    "window_share_of_group": 12,
+    "window_topk_per_group": 12,
 }
+
 
 
 def _last_verified_round() -> dict[str, tuple[int, int]]:
