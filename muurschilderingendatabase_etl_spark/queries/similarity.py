@@ -524,14 +524,22 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic bounded sample: top-N by xxhash64(vec_id) order —
     # a distributed TakeOrdered, O(corpus) scan with per-partition
     # top-N, driver receives ≤ _IVF_TRAIN_SAMPLE rows regardless of
-    # corpus size.
+    # corpus size. r12 perf (guide §1.2, one pass not two): the corpus
+    # count for the adaptive nprobe rides THIS scan as an observe()
+    # metric — TakeOrderedAndProject evaluates every partition, so the
+    # observation is complete once the collect returns — instead of a
+    # separate count job over the cache.
+    from pyspark.sql import Observation
+
+    obs = Observation("ivf_corpus_n")
     sample = (
-        emb.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        emb.observe(obs, F.count(F.lit(1)).alias("n"))
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
         .limit(_IVF_TRAIN_SAMPLE)
         .collect()
     )
-    # Corpus-adaptive nprobe (count rides the already-cached vectors).
-    nprobe = _ivf_nprobe(emb.count())
+    # Corpus-adaptive nprobe (count observed on the sample scan above).
+    nprobe = _ivf_nprobe(int(obs.get["n"]))
     if not sample:
         # Empty corpus: no vectors to train on, no neighbors to return —
         # emit the empty result with the output schema (a routine case at
