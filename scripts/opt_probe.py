@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--tag", default="none")
+    ap.add_argument("--plandir", default="r13")
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
@@ -50,7 +51,7 @@ def main() -> None:
 
     materialize(qs["flagship_revenue_by_nation"](spark, args.sf))
 
-    plandir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    plandir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.plandir)
     os.makedirs(plandir, exist_ok=True)
 
     out: dict[str, list[float]] = {}
