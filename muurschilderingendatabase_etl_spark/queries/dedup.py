@@ -869,6 +869,46 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
+    # Convergence certification (r13, guide §1.2 — don't run a full
+    # edges⋈labels round to prove what one node-cardinality aggregate
+    # proves). local_uf emits each node once per PARTITION it appears
+    # in, so `labels` is duplicate-free  ⟺  every node's incident
+    # edges live in a single partition (a pair row mentioning node d
+    # lands in the partition of its block, so d shows up in exactly
+    # the partitions its blocks hash to). If that holds, every
+    # CONNECTED COMPONENT is wholly contained in one partition — walk
+    # any path: each edge keeps both endpoints in the same partition,
+    # and no node bridges two — and the per-partition min-root
+    # union-find is therefore the exact global answer: nothing to
+    # reconcile. The r12 shape proved the same fact by running one
+    # full pointer-jumping round (edges join + groupBy + two label
+    # joins + checkpoint, ~1.1 s at sf0.1) and observing zero label
+    # changes; this count ⟂ countDistinct certificate is implied by
+    # it and costs one small job over the node-cardinality labels.
+    # On block = source data the certificate always passes (each doc
+    # has ONE source, so all its pairs carry one block value); the
+    # generic loop below stays as the 100 TB safety net for any
+    # cross-partition graph — and the certificate, not an assumption
+    # about the miner, is what gates skipping it.
+    # tests/test_dedup.py::test_cc_cross_partition_fallback forces a
+    # failing certificate and checks the loop reconciles exactly.
+    n_rows, n_nodes = labels.agg(
+        F.count("node"), F.count_distinct("node")
+    ).first()
+    if n_rows == n_nodes:
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("component")
+        )
+
+    # Cross-partition components exist: merge the per-partition label
+    # rows to ONE row per node (min label — exactly the min-root
+    # invariant the local phase maintains) so the loop iterates over
+    # node-cardinality state; the r12 loop ran straight over the
+    # duplicated rows, which the hop self-join would multiply. Then
+    # build the symmetric edge list (only needed on this branch — r13
+    # moved it out of the certified fast path) and run the generic
+    # pointer-jumping min-label loop.
+    labels = labels.groupBy("node").agg(F.min("label").alias("label")).localCheckpoint()
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).localCheckpoint()

@@ -143,3 +143,56 @@ def test_cosine_gram_tiles_invariant_to_tile_count(spark, monkeypatch):
     }
     assert tiled == base
     assert len(base) > 0, "fixture lost its qualifying cosine pairs"
+
+
+def test_cc_cross_partition_fallback(spark, monkeypatch):
+    """Force the connected-components certificate to FAIL (a node with
+    pairs in two blocks that hash to different partitions) and check the
+    generic pointer-jumping loop reconciles to the exact components with
+    one row per node. The certified fast path (r13) skips the loop ONLY
+    when labels are duplicate-free; this pins the fallback's exactness —
+    the safety net must be a working algorithm, not dead code."""
+    import pyspark.sql.functions as F
+
+    import muurschilderingendatabase_etl_spark.queries.dedup as dd
+
+    # AQE coalesces a tiny keyed repartition to ONE partition, which
+    # would make every certificate pass trivially; pin the exchange
+    # open so two blocks can actually land apart.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    shuffle_key = "spark.sql.shuffle.partitions"
+    old_coalesce = spark.conf.get(coalesce_key)
+    old_shuffle = spark.conf.get(shuffle_key)
+    spark.conf.set(coalesce_key, "false")
+    spark.conf.set(shuffle_key, "8")
+
+    # Pick two block values that provably land in different partitions
+    # under the session's current repartition("block") hashing.
+    cand = spark.createDataFrame(
+        [(f"b{i}",) for i in range(32)], "block string"
+    )
+    pids = {
+        r["block"]: r["pid"]
+        for r in cand.repartition("block")
+        .select("block", F.spark_partition_id().alias("pid"))
+        .collect()
+    }
+    b1 = "b0"
+    b2 = next(b for b in pids if pids[b] != pids[b1])
+
+    # Chain 1-2-3 spans the two partitions through node 2; {10, 11} is a
+    # second, partition-local component under b1.
+    pairs = spark.createDataFrame(
+        [(1, 2, b1), (2, 3, b2), (10, 11, b1)],
+        "doc_a long, doc_b long, block string",
+    )
+    monkeypatch.setattr(dd, "_ngram_jaccard_pairs", lambda s, d: pairs)
+
+    try:
+        out = dd.dedup_connected_components(spark, "/ignored")
+        rows = [(r.doc_id, r.component) for r in out.collect()]
+    finally:
+        spark.conf.set(coalesce_key, old_coalesce)
+        spark.conf.set(shuffle_key, old_shuffle)
+    assert sorted(rows) == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+    assert len(rows) == len(set(r[0] for r in rows)), "duplicate doc_id rows"
