@@ -192,25 +192,38 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         caches = [e, degN]
     else:
-        # Small graph → the loop will almost surely broadcast: pin the
-        # edges lineage-free with an eager localCheckpoint (coalesce,
-        # no shuffle — the round-10 A/B showed a repartition+sort+
-        # DISK_ONLY build costs ~2.5 s extra here for nothing the
-        # broadcast join can use). Partition count is BYTE-sized
-        # (~8 MB/partition, capped at the core count — r12, guide §2.2
-        # fewer-larger partitions): every one of the 8 iteration jobs
-        # re-probes these partitions, so "one per core" made each
-        # iteration a 32-task job over ~0.6 MB tasks at sf0.1 — pure
-        # scheduling overhead (A/B: 32 parts ≈ 5.7 s, 2 parts ≈ 4.0 s
-        # suite-shape; at sf1 the same formula keeps ~25 parts, matching
-        # the round-9 measurement that full fan-out beats fat partitions
-        # there). Degrees derive from the checkpointed edges — NOT from
-        # the source pipeline, so the scan+distinct still runs exactly
-        # once.
+        # Small graph → same dst-partitioned-cache structure as the big
+        # branch, at the byte-sized partition count (~8 MB/partition,
+        # capped at the core count — r12, guide §2.2 fewer-larger
+        # partitions) and in MEMORY instead of DISK_ONLY. r12 pinned
+        # the edges with a shuffle-free coalesce+localCheckpoint, but a
+        # checkpoint is an ExistingRDD with UnknownPartitioning, so all
+        # 8 iteration groupBy(dst) aggregations paid a shuffle exchange
+        # plus its AQE re-planning round-trip. persist keeps
+        # HashPartitioning(dst) visible to Catalyst — the per-iteration
+        # contribution agg runs with ZERO exchange, exactly like the
+        # big branch — and the one up-front edge shuffle costs less
+        # than the 8 exchanges it removes (interleaved A/B at sf0.1:
+        # 4.0–4.6 s → 3.3–4.0 s full-query, 6/6 reps; the round-10
+        # "coalesce wins" A/B compared against repartition+sort+
+        # DISK_ONLY, whose sort and disk round-trip are what cost the
+        # 2.5 s — neither is paid here). Degrees derive from the cache
+        # grouped BY DST (its partitioning key: zero-exchange too;
+        # dst-count == src-count in the symmetric union), aliased to
+        # src for the per-iteration rank×deg join — the source
+        # scan+distinct still runs exactly once.
         e_small_par = max(1, min(par, int(est_edge_bytes // (8 << 20)) + 1))
-        e = edges.coalesce(e_small_par).localCheckpoint()
-        degN = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
-        caches = []
+        e = edges.repartition(e_small_par, "dst").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        e.count()  # materialize before anything derives from it
+        degN = (
+            e.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .select(F.col("dst").alias("src"), "deg")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        caches = [e, degN]
     # One row per node (undirected graph: every node has out-degree >= 1),
     # so the node count — which picks the loop strategy — is a cheap
     # count over the just-built node-cardinality cache.

@@ -397,11 +397,29 @@ def test_span_dedup_semi_join(spark):
     assert "LeftSemi" in p
 
 
-def test_pagerank_broadcasts_ranks(spark):
+def test_pagerank_broadcasts_ranks(spark, monkeypatch):
     """Each PageRank iteration must broadcast the node-cardinality rank
-    table — the cached edge table is never re-shuffled for the join."""
-    p = _plan(spark, "graph_pagerank_fixed")
-    assert "BroadcastHashJoin" in p
+    table — the cached edge table is never re-shuffled for the join.
+    The r13 small-graph path persists its edge cache (dst-partitioned,
+    zero-exchange contribution agg) and therefore checkpoints the
+    returned frame before releasing it; introspect the lazy plan by
+    keeping the cache alive for this run (same device as the
+    nonbroadcast-path test). Also pin the zero-exchange property: no
+    shuffle may sit between the cache scan and the final aggregate."""
+    from muurschilderingendatabase_etl_spark.queries import graph
+
+    monkeypatch.setattr(graph, "_RELEASE_FALLBACK_CACHE", False)
+    try:
+        p = _plan(spark, "graph_pagerank_fixed")
+        assert "BroadcastHashJoin" in p
+        assert "InMemoryTableScan" in p
+        # dst-partitioned cache feeds groupBy(dst): the only Exchange in
+        # the last iteration's plan is the broadcast of the rank side.
+        import re
+
+        assert not re.search(r"Exchange hashpartitioning", p)
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_pagerank_nonbroadcast_path_same_ranks(spark, monkeypatch):
