@@ -50,10 +50,24 @@ def _write_partitions(spark: SparkSession, sf_dir: str, table: str) -> int:
     a 60 MB fixture), and the fan-out still reaches every core once the
     table is ≥ 64 MB × cores (sf10+), preserving the r7 lesson that a
     constant small fan-out is the one true scale killer here."""
-    try:
-        nbytes = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
-    except OSError:
+    # os.walk handles both single-file fixtures and directory-style
+    # parquet datasets (r12 ADVICE: getsize on a directory returns the
+    # ~4 KB inode size, silently collapsing the write to 1 partition —
+    # the exact r7 scale-killer this function exists to prevent).
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
         nbytes = 0
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                try:
+                    nbytes += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    else:
+        try:
+            nbytes = os.path.getsize(src)
+        except OSError:
+            nbytes = 0
     par = spark.sparkContext.defaultParallelism
     return max(1, min(par, nbytes // (64 << 20) + 1))
 

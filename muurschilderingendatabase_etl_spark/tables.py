@@ -41,7 +41,7 @@ ALWAYS_BROADCAST = frozenset({"region", "nation"})
 # by applicationId so a new session never sees a stale relation; fixture
 # dirs are immutable within a session by contract (tests that synthesize
 # fixtures use fresh tmp paths).
-_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_DF_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,7 +54,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    # id(spark) alongside applicationId (r12 ADVICE): sessions created
+    # via newSession() share an applicationId but have their own conf;
+    # a cache hit must never hand a DataFrame bound to a sibling
+    # session (whose nanosAsLong / shuffle overrides would silently be
+    # the ones in effect). applicationId still anchors the lifetime —
+    # id() alone could collide after a session is GC'd and the address
+    # reused.
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
     cached = _DF_CACHE.get(key)
     if cached is not None:
         return cached
