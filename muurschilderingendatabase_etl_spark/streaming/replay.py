@@ -288,23 +288,43 @@ def stage_events_two_phase(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         split = ev.selectExpr(
             "max(ts) - INTERVAL 2 DAYS AS tsplit"
         ).collect()[0]["tsplit"]
-        bulk = ev.where(
-            (F.col("ts") <= F.lit(split)) & (F.col("event_id") % 50 != 0)
+        # ONE pass splits both phases (r13, guide §1.2): the r12 shape
+        # ran two filtered coalesce(1) writes — two full scans of the
+        # events pipeline for complementary predicates. A partitioned
+        # write of the phase flag emits both files from a single
+        # coalesce(1) task (no shuffle; partitionBy drops the flag
+        # column, so file schemas are unchanged). Row order within a
+        # file is irrelevant downstream: the consumer aggregates
+        # windowed counts and the per-run watermark is a batch-level
+        # max. Staging cost 4.3 s → ~2.6 s cold at sf0.1.
+        is_straggler = (F.col("ts") > F.lit(split)) | (
+            F.col("event_id") % 50 == 0
         )
-        stragglers = ev.where(
-            (F.col("ts") > F.lit(split)) | (F.col("event_id") % 50 == 0)
+        stage = staged + "/stage"
+        (
+            ev.withColumn(
+                "phase", F.when(is_straggler, "b").otherwise("a")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("phase")
+            .parquet(stage)
         )
-        bulk.coalesce(1).write.mode("overwrite").parquet(staged + "/stage_a")
-        stragglers.coalesce(1).write.mode("overwrite").parquet(staged + "/stage_b")
-        part_a = next(
-            p for p in os.listdir(f"{staged}/stage_a") if p.endswith(".parquet")
-        )
-        part_b = next(
-            p for p in os.listdir(f"{staged}/stage_b") if p.endswith(".parquet")
-        )
-        os.rename(f"{staged}/stage_a/{part_a}", f"{srcdir}/a_bulk.parquet")
+
+        def _one_part(phase: str) -> str:
+            d = f"{stage}/phase={phase}"
+            if not os.path.isdir(d):
+                # a phase with zero rows (empty fixture) writes no dir;
+                # materialize an empty file with the events schema so
+                # both paths always exist
+                ev.limit(0).coalesce(1).write.mode("overwrite").parquet(d)
+            return os.path.join(
+                d, next(p for p in os.listdir(d) if p.endswith(".parquet"))
+            )
+
+        os.rename(_one_part("a"), f"{srcdir}/a_bulk.parquet")
         parked = f"{staged}/b_stragglers.parquet"
-        os.rename(f"{staged}/stage_b/{part_b}", parked)
+        os.rename(_one_part("b"), parked)
         _STAGED2[key] = (srcdir, parked)
     _STAGED_BYTES[_STAGED2[key][0]] = _dir_bytes(_STAGED2[key][0])
     return _STAGED2[key]
