@@ -69,22 +69,38 @@ _REWRITTEN_IN_ROUND: dict[str, int] = {
     # scripts/driver_mimic.py before commit (OPTIMIZATION_r12.md).
     # Historical per-round entries (r8-r11) are superseded by these;
     # git history preserves the provenance narrative.
+    #
+    # r13 (optimization round 2): 69 entries re-tiered to 13 — the 50
+    # queries the gate flags (their r12 external records predate this
+    # round's tables.t memo-KEY line, a behaviorally inert change for
+    # any single-session run) plus every query with a TARGETED r13
+    # rewrite whose record predates r12 and so escapes the gate
+    # (pagerank edge cache, both sinks' write sizing + the z-order
+    # key, the two SQL money sums, the 13 replay-backed streams, the
+    # LSH/IVF literal guard). Unlike r12's blanket re-tier (which gave
+    # the driver a zero-overlap sample, VERDICT r12), the ~120
+    # remaining tables.t-only dependents keep their r12 tier: their
+    # slices changed only by the inert key line, and leaving them put
+    # points the driver's 50-query window at the code that actually
+    # changed. All changed queries oracle-verified at sf0.01 (and the
+    # streams + sinks additionally at sf0.1) via scripts/driver_mimic
+    # before each commit (OPTIMIZATION_r13.md).
     "agg_approx_count_distinct": 12,
-    "agg_approx_percentile": 12,
-    "agg_conditional": 12,
+    "agg_approx_percentile": 13,
+    "agg_conditional": 13,
     "agg_corr_covar": 12,
     "agg_count_distinct": 12,
-    "agg_cube": 12,
+    "agg_cube": 13,
     "agg_grouping_id": 12,
-    "agg_grouping_sets": 12,
+    "agg_grouping_sets": 13,
     "agg_having": 12,
     "agg_hll_rolling_uniques": 12,
     "agg_hll_sketch_mergeable": 12,
     "agg_min_by_max_by": 12,
-    "agg_min_max": 12,
+    "agg_min_max": 13,
     "agg_percentiles": 12,
     "agg_pricing_summary": 12,
-    "agg_rollup": 12,
+    "agg_rollup": 13,
     "agg_salted_two_phase": 12,
     "agg_string_agg_ordered": 12,
     "agg_two_stage_salted": 12,
@@ -94,151 +110,151 @@ _REWRITTEN_IN_ROUND: dict[str, int] = {
     "array_higher_order": 12,
     "array_hof_vector_norm": 12,
     "array_ops_embeddings": 12,
-    "chunk_fixed_windows": 12,
+    "chunk_fixed_windows": 13,
     "contamination_bloom_prefilter": 12,
     "contamination_ngram_overlap": 12,
     "debounce_events": 12,
-    "dedup_connected_components": 12,
+    "dedup_connected_components": 13,
     "dedup_embedding_cosine": 12,
     "dedup_exact_hash": 12,
     "dedup_minhash_lsh": 12,
-    "dedup_ngram_jaccard": 12,
+    "dedup_ngram_jaccard": 13,
     "dedup_shared_ngram_spans": 12,
     "dedup_simhash": 12,
-    "filter_between_distinct": 12,
-    "filter_isin": 12,
+    "filter_between_distinct": 13,
+    "filter_isin": 13,
     "filter_null_safe_eq": 12,
     "filter_rlike": 12,
     "flagship_revenue_by_nation": 12,
     "funnel_signup_purchase": 12,
     "geo_distance_join_grid": 12,
-    "graph_pagerank_fixed": 12,
-    "heavy_hitters_two_pass": 12,
-    "index_doc_frequency": 12,
-    "index_posting_lists": 12,
+    "graph_pagerank_fixed": 13,
+    "heavy_hitters_two_pass": 13,
+    "index_doc_frequency": 13,
+    "index_posting_lists": 13,
     "join_asof_event_order": 12,
     "join_asof_forward_tolerance": 12,
     "join_broadcast_dim": 12,
-    "join_cross": 12,
+    "join_cross": 13,
     "join_dynamic_partition_pruning": 12,
     "join_full_outer": 12,
     "join_fuzzy_levenshtein": 12,
-    "join_inner_three_way": 12,
+    "join_inner_three_way": 13,
     "join_interval_bucketed": 12,
     "join_interval_overlap": 12,
-    "join_left_anti": 12,
-    "join_left_outer": 12,
-    "join_left_semi": 12,
+    "join_left_anti": 13,
+    "join_left_outer": 13,
+    "join_left_semi": 13,
     "join_right_outer": 12,
-    "join_theta_range": 12,
+    "join_theta_range": 13,
     "json_extract_props": 12,
-    "json_variant_extract": 12,
+    "json_variant_extract": 13,
     "map_lookup_remap": 12,
-    "multimodal_feature_extract": 12,
+    "multimodal_feature_extract": 13,
     "multimodal_frame_sample": 12,
-    "multimodal_metadata": 12,
+    "multimodal_metadata": 13,
     "multimodal_resize_plan": 12,
     "pack_sequence_bins": 12,
-    "pii_quarantine_split": 12,
-    "pii_redact_mask": 12,
+    "pii_quarantine_split": 13,
+    "pii_redact_mask": 13,
     "pipeline_incremental_upsert": 12,
-    "pipeline_training_data_prep": 12,
-    "pivot_segment_by_year": 12,
+    "pipeline_training_data_prep": 13,
+    "pivot_segment_by_year": 13,
     "profile_expectations": 12,
-    "project_computed_columns": 12,
+    "project_computed_columns": 13,
     "project_explode_outer": 12,
     "project_posexplode": 12,
     "project_unpivot_melt": 12,
-    "quality_gopher_gates": 12,
+    "quality_gopher_gates": 13,
     "quality_length_band_filter": 12,
-    "quality_repetition_dupwords": 12,
-    "rdf_enrichment_join": 12,
-    "rdf_graph_pipeline": 12,
+    "quality_repetition_dupwords": 13,
+    "rdf_enrichment_join": 13,
+    "rdf_graph_pipeline": 13,
     "rdf_turtle_roundtrip": 12,
-    "retention_weekly_cohorts": 12,
+    "retention_weekly_cohorts": 13,
     "sample_hash_stratified": 12,
     "sample_per_source_quota": 12,
     "sample_seeded": 12,
     "scalar_calendar_arith": 12,
     "scalar_conditional": 12,
-    "scalar_date_fns": 12,
+    "scalar_date_fns": 13,
     "scalar_date_trunc_diff": 12,
     "scalar_math_fns": 12,
     "scalar_null_combinators": 12,
     "scalar_regexp_extract": 12,
-    "scalar_string_fns": 12,
+    "scalar_string_fns": 13,
     "scalar_try_arithmetic": 12,
-    "scan_csv_roundtrip": 12,
+    "scan_csv_roundtrip": 13,
     "scan_json_roundtrip": 12,
     "scan_orc_roundtrip": 12,
-    "scan_parquet_pushdown": 12,
+    "scan_parquet_pushdown": 13,
     "scan_xml_roundtrip": 12,
     "scd2_from_changelog": 12,
     "sequence_pattern_match": 12,
     "setop_dropduplicates_subset": 12,
     "setop_except": 12,
-    "setop_except_all": 12,
+    "setop_except_all": 13,
     "setop_intersect": 12,
     "setop_intersect_all": 12,
-    "setop_union_all_counts": 12,
+    "setop_union_all_counts": 13,
     "setop_union_by_name": 12,
-    "setop_union_distinct": 12,
-    "similarity_ivf_ann": 12,
+    "setop_union_distinct": 13,
+    "similarity_ivf_ann": 13,
     "similarity_label_cohesion": 12,
-    "similarity_lsh_ann": 12,
+    "similarity_lsh_ann": 13,
     "similarity_topk_bruteforce": 12,
     "sink_compact_small_files": 12,
     "sink_managed_table_roundtrip": 12,
     "sink_merge_upsert": 12,
     "sink_parquet_roundtrip": 12,
     "sink_partitioned_pruning": 12,
-    "sink_sorted_data_skipping": 12,
-    "sink_zorder_2d_skipping": 12,
+    "sink_sorted_data_skipping": 13,
+    "sink_zorder_2d_skipping": 13,
     "skyline_pareto_frontier": 12,
-    "sort_global_topk": 12,
-    "sort_multi_key": 12,
+    "sort_global_topk": 13,
+    "sort_multi_key": 13,
     "sort_nulls_ordering": 12,
     "split_train_valid_test": 12,
-    "sql_local_supplier_volume": 12,
+    "sql_local_supplier_volume": 13,
     "sql_recursive_closure": 12,
-    "sql_shipping_priority": 12,
+    "sql_shipping_priority": 13,
     "stats_chi_square_contingency": 12,
-    "stats_corr_moments": 12,
-    "stats_histogram_bins": 12,
+    "stats_corr_moments": 13,
+    "stats_histogram_bins": 13,
     "stats_percentiles_exact": 12,
-    "stream_dedup_stateful": 12,
-    "stream_dedup_within_watermark": 12,
-    "stream_foreach_batch_sink": 12,
-    "stream_late_data_drop": 12,
-    "stream_session_window": 12,
-    "stream_sliding_window": 12,
-    "stream_stateful_user_stats": 12,
-    "stream_static_join": 12,
-    "stream_stream_join": 12,
-    "stream_stream_outer_join": 12,
-    "stream_transform_with_state": 12,
-    "stream_tumbling_window": 12,
-    "stream_watermark_append": 12,
+    "stream_dedup_stateful": 13,
+    "stream_dedup_within_watermark": 13,
+    "stream_foreach_batch_sink": 13,
+    "stream_late_data_drop": 13,
+    "stream_session_window": 13,
+    "stream_sliding_window": 13,
+    "stream_stateful_user_stats": 13,
+    "stream_static_join": 13,
+    "stream_stream_join": 13,
+    "stream_stream_outer_join": 13,
+    "stream_transform_with_state": 13,
+    "stream_tumbling_window": 13,
+    "stream_watermark_append": 13,
     "subq_exists_correlated": 12,
     "subq_in_uncorrelated": 12,
     "subq_lateral_topn": 12,
     "subq_not_exists_anti": 12,
     "subq_quantified_all": 12,
     "subq_scalar_correlated": 12,
-    "subq_scalar_uncorrelated": 12,
+    "subq_scalar_uncorrelated": 13,
     "text_fingerprint": 12,
-    "text_lang_id": 12,
+    "text_lang_id": 13,
     "text_quality_score": 12,
     "text_tfidf_topterms": 12,
     "text_token_count": 12,
     "text_unigram_surprisal": 12,
-    "timeseries_resample_ffill": 12,
+    "timeseries_resample_ffill": 13,
     "trend_week_over_week": 12,
     "udaf_apply_in_pandas": 12,
     "udf_cogroup_apply_in_pandas": 12,
     "udf_map_in_arrow": 12,
     "udf_pandas_vectorized": 12,
-    "udf_scalar_python": 12,
+    "udf_scalar_python": 13,
     "udtf_sentence_split": 12,
     "window_first_last_nth": 12,
     "window_lag_lead": 12,
@@ -251,7 +267,7 @@ _REWRITTEN_IN_ROUND: dict[str, int] = {
     "window_running_sum": 12,
     "window_sessionize_gaps": 12,
     "window_share_of_group": 12,
-    "window_topk_per_group": 12,
+    "window_topk_per_group": 13,
 }
 
 
