@@ -190,13 +190,16 @@ def main() -> None:
         "sf": sf,
         **contention,
     }
+    printed = dict(detail)
     if rejected is not None:
         # both attempts stay on the record; the FINAL line reports the
-        # less-contended one (selection by contention, never by speed)
+        # less-contended one (selection by contention, never by speed).
+        # The rejected attempt goes to the SIDECAR only — stdout keeps
+        # the round-1 lesson that the driver tail-parses small lines.
         detail["rejected_attempt"] = rejected
     with open("BENCH_DETAIL.json", "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
-    print(json.dumps(detail))
+    print(json.dumps(printed))
     print(
         json.dumps(
             {

@@ -542,7 +542,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised wherever protobuf exists. PERMANENT WAIVER (r6;
     re-probed 2026-08-16/r10 — protobuf still absent): package
     installation is out of scope in this build environment and
-    protobuf is absent from the image (re-probed 2026-08-18/r12:
+    protobuf is absent from the image (re-probed 2026-08-18/r13:
     `import google.protobuf` still ModuleNotFoundError), so the true
     TWS path cannot execute here by construction; the gate itself is
     unit-tested, the
