@@ -296,7 +296,8 @@ def stage_events_two_phase(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # column, so file schemas are unchanged). Row order within a
         # file is irrelevant downstream: the consumer aggregates
         # windowed counts and the per-run watermark is a batch-level
-        # max. Staging cost 4.3 s → ~2.6 s cold at sf0.1.
+        # max. Staging cost 4.3 s → 3.3 s cold at sf0.1 (the remaining
+        # cost is the split collect's first events scan + the write).
         is_straggler = (F.col("ts") > F.lit(split)) | (
             F.col("event_id") % 50 == 0
         )
